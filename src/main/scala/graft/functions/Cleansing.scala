@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar cleansing / parsing functions mirrored from the reference's
+  * extract-side string handling (SURVEY.md §2.8). All are pure Column
+  * compositions — codegen-friendly, no UDFs — so Catalyst can fold,
+  * push, and whole-stage-compile them.
+  *
+  * Reference behaviors reproduced:
+  *  - CR/LF/pipe stripping (/root/reference/MQ/mosaiq_person.sql:118-119,
+  *    /root/reference/CNExT/cnext_note.sql:90-97)
+  *  - empty-string ⇄ NULL normalization
+  *    (/root/reference/Delphi/step_03_location.py:63-82)
+  *  - NAACCR sentinel-date parsing (/root/reference/CNExT/cnext_person.sql:53-91)
+  *  - soft casts, NULL on failure
+  *    (/root/reference/Delphi/MSSQL_Vertica_Translations/README.md:127-130)
+  */
+object Cleansing {
+
+  /** F5: strip CR/LF and replace the pipe delimiter, then trim.
+    * Extracts are pipe-delimited so embedded delimiters corrupt rows. */
+  def cleanse(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\r\n]", ""), "\\|", "-"))
+
+  /** F5: `'' -> NULL` (the Python loader's `_clean`). */
+  def emptyToNull(c: Column): Column = nullif(trim(c), lit(""))
+
+  /** F1-adjacent: stable content digest per the input_hint invariant. */
+  def contentSha(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Vertica `::!` soft cast: NULL on failure, never error. */
+  def softCast(c: Column, to: String): Column = c.try_cast(to)
+
+  /** F3: NAACCR 8-char date `YYYYMMDD` with sentinel handling:
+    *  - '00000000' / '99999999' = unknown → NULL
+    *  - '88888888' = not applicable → NULL
+    *  - month '99' → '01', day '99' → '01' (partial-date padding)
+    * (/root/reference/CNExT/cnext_person.sql:53-91,
+    *  /root/reference/CNExT/cnext_visit_detail.sql:64-99)
+    */
+  def parseNaaccrDate(c: Column): Column = {
+    val yyyy = substring(c, 1, 4)
+    val mm   = substring(c, 5, 2)
+    val dd   = substring(c, 7, 2)
+    val mm2  = when(mm === "99" || mm === "00", lit("01")).otherwise(mm)
+    val dd2  = when(dd === "99" || dd === "00", lit("01")).otherwise(dd)
+    when(c.isNull || length(c) =!= 8, lit(null).cast("date"))
+      .when(c.isin("00000000", "99999999", "88888888"), lit(null).cast("date"))
+      .when(yyyy === "9999" || yyyy === "0000", lit(null).cast("date"))
+      .otherwise(to_date(concat(yyyy, mm2, dd2), "yyyyMMdd"))
+  }
+
+  /** F4: ICD-O style code formatting — STUFF(c,4,0,'.'): C509 → C50.9. */
+  def icdDot(c: Column): Column =
+    when(length(c) > 3, concat(substring(c, 1, 3), lit("."), substring(c, 4, 64)))
+      .otherwise(c)
+
+  /** F8: latest of two timestamps, null-safe (CASE picking max(Edit_DtTm)). */
+  def latestOf(a: Column, b: Column): Column = greatest(a, b)
+}

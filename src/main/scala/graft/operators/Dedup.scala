@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for a web-scale training-data pipeline.
+  *
+  * Scale notes (the design constraint, not an afterthought):
+  *  - exact dedupe is a single hash-shuffle on the digest — the digest (8-64
+  *    bytes) shuffles, never the document body;
+  *  - MinHash-LSH / SimHash banding turn the O(n²) pairwise problem into
+  *    equi-joins on band keys, so Spark plans ordinary shuffled hash joins;
+  *    oversized buckets (degenerate content, e.g. empty docs) are capped and
+  *    reported rather than silently exploding a join;
+  *  - all hash functions are seed-parameterized xxhash64 — deterministic
+  *    across runs/partitionings, codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedupe: canonical row per content digest (min id wins —
+    * deterministic, unlike dropDuplicates). Only (digest, id) shuffles. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withSha = df.withColumn("content_sha", sha2(col(textCol), 256))
+    val canon = withSha.groupBy("content_sha")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+    canon
+  }
+
+  /** MinHash signature column: array of `numHashes` 64-bit minima over
+    * the doc's word `k`-shingles. Pure array expressions — per-row work,
+    * zero shuffle. */
+  def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = TextAnalysis.shingles(text, k)
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH banding: returns candidate near-duplicate pairs
+    * (id_a < id_b) whose signatures collide in ≥1 of `bands` bands, with
+    * the estimated Jaccard from the full signature.
+    *
+    * numHashes must be divisible by bands; rows-per-band r = numHashes/bands.
+    * Buckets larger than `maxBucket` are dropped (degenerate keys) — the
+    * standard web-dedup guard against quadratic blowup on empty/boilerplate
+    * docs; at 100 TB a single hot bucket would otherwise dominate the join. */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), k, numHashes).as("sig"))
+
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", (0 until r).map(i => col("sig")(b * r + i)): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    // cap degenerate buckets before the self-join
+    val counts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val ok = banded.join(counts.filter(col("n") <= maxBucket), Seq("band", "bucket"))
+
+    val a = ok.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = ok.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          (m: Column) => m)).cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash: `nBits`-wide sign-of-weighted-bit-sums over whitespace tokens.
+    * Pure array expressions; returns the hash as a long (nBits ≤ 63). */
+  def simHash(text: Column, nBits: Int = 32): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until nBits).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup candidates: band the hash into `chunks` chunks; docs
+    * sharing any chunk are candidates (Hamming ≤ chunks-1 guaranteed found).
+    * Reports exact Hamming distance for downstream thresholding. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   nBits: Int = 32, chunks: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
+    val width = nBits / chunks
+    val hashed = df.select(col(idCol).as("id"), simHash(col(textCol), nBits).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * width).bitwiseAND((1L << width) - 1).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.chunk"), col("bb.bucket"))
+    val counts = banded.groupBy("chunk", "bucket").agg(count(lit(1)).as("n"))
+    val ok = banded.join(counts.filter(col("n") <= maxBucket), Seq("chunk", "bucket"))
+    val a = ok.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = ok.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: explode shingles,
+    * equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the
+    * scale path — never a cross join. `minJaccard` prunes output. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, minJaccard: Double = 0.5,
+                   maxShingleDocs: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    // drop ubiquitous shingles (stop-shingles) — same hot-key guard as LSH
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    val pruned = exploded.join(freq.filter(col("df") <= maxShingleDocs), Seq("g"))
+    val a = pruned.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = pruned.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
