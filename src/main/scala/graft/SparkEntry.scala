@@ -304,6 +304,278 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // ---- batch 2: remaining §2 inventory --------------------------------
+    "p1_projection_pad" -> ((s, dir) => {
+      // P1: wide projection with constant/NULL padding of missing concepts
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        lit("").as("filler"),
+        lit(null).cast("string").as("missing_concept"),
+        lit(0).as("zero_concept"))
+    }),
+
+    "p5_ascii_filter" -> ((s, dir) => {
+      // P5: whitespace-code rejection via ASCII()
+      t(s, dir, "lineitem")
+        .filter(ascii(col("l_returnflag")) =!= 32)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    }),
+
+    "p6_value_quality" -> ((s, dir) => {
+      // P6: value-quality filter chain
+      t(s, dir, "events")
+        .filter(col("value").isNotNull && col("value") > 0 &&
+          col("event_type") =!= "error" &&
+          upper(col("event_type")) =!= "SIGNUP")
+        .select("event_id", "event_type", "value")
+    }),
+
+    "p7_join_embedded_filter" -> ((s, dir) => {
+      // P7: extra predicates inside the join ON-clause (left join, so
+      // placement in ON vs WHERE changes semantics — kept in ON)
+      t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+          col("l_quantity") > 40 && col("o_orderstatus") === "O", "left")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("big_lines"))
+    }),
+
+    "j3_multikey_join" -> ((s, dir) => {
+      // J3: multi-column equi-join (composite key)
+      val e = t(s, dir, "events")
+      val perKey = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_same"))
+      e.join(perKey, Seq("user_id", "event_type"))
+        .select("event_id", "user_id", "event_type", "n_same")
+    }),
+
+    "j6_top1_lookup" -> ((s, dir) => {
+      // J6/O2: deterministic TOP-1 correlated lookup, decorrelated to a
+      // first-wins window + join (house-style note 6 analogue)
+      val firstOrder = Relational.firstWins(t(s, dir, "orders"),
+          Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderkey").as("first_order"))
+      t(s, dir, "customer").join(broadcast(firstOrder), Seq("c_custkey"), "left")
+        .select("c_custkey", "c_name", "first_order")
+    }),
+
+    "j9_expr_join" -> ((s, dir) => {
+      // J9: join on a derived expression key (compute first, then equi-join)
+      t(s, dir, "events")
+        .withColumn("nk", pmod(col("user_id"), lit(25)).cast("int"))
+        .join(broadcast(t(s, dir, "nation")), col("nk") === col("n_nationkey"))
+        .select("event_id", "user_id", "n_name")
+    }),
+
+    "a7_groupby_dedupe" -> ((s, dir) => {
+      // A7: GROUP BY full select list as dedupe (no aggregates)
+      t(s, dir, "events")
+        .select("user_id", "event_type").distinct()
+    }),
+
+    "a8_group_daily_max" -> ((s, dir) => {
+      // A8: GROUP BY with MAX over a formatted/truncated date
+      t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .agg(max(col("value")).as("max_value"), count(lit(1)).as("n"))
+    }),
+
+    "u3_code_dimension" -> ((s, dir) => {
+      // U3: UNION as row-generator for the code dimension (OMOP_CODE_VALUE)
+      val a = t(s, dir, "events").select(col("event_type").as("code"),
+        lit("event").as("domain")).distinct()
+      val b = t(s, dir, "documents").select(col("lang").as("code"),
+        lit("language").as("domain")).distinct()
+      a.unionByName(b)
+    }),
+
+    "w3_deterministic_pick" -> ((s, dir) => {
+      // W3: the reference's ROW_NUMBER-without-ORDER-BY, made deterministic
+      // with an explicit business-key tiebreak (documented divergence)
+      Relational.firstWins(t(s, dir, "documents"), Seq("source"),
+          Seq(col("doc_id")))
+        .select("source", "doc_id", "lang")
+    }),
+
+    "w5_multicol_rank" -> ((s, dir) => {
+      // W5: multi-column ordered rank (asc + desc mixed), top-3 per group
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events").withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+    }),
+
+    "w6_alias_resolution" -> ((s, dir) => {
+      // W6: canonical-row-per-entity pick (EMPI alias resolution shape)
+      Relational.latestWins(t(s, dir, "events"), Seq("user_id", "event_type"),
+          Seq(col("event_id")))
+        .select("user_id", "event_type", "event_id")
+    }),
+
+    "x1_collect_agg" -> ((s, dir) => {
+      // X1: fn_GetPatientRaces-style list aggregation — not a UDF in Spark:
+      // groupBy + sorted collect_set + concat
+      t(s, dir, "events").groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ";")
+          .as("types_seen"))
+    }),
+
+    "f2_split_part" -> ((s, dir) => {
+      // F2: split_part — 27 lines of nested SUBSTRING/CHARINDEX in the
+      // reference, one expression here
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        split(concat_ws(":", col("source"), col("lang")), ":").getItem(1)
+          .as("part2"))
+    }),
+
+    "f3_naaccr_dates" -> ((s, dir) => {
+      // F3: NAACCR sentinel-date parsing (synthesized dirty codes)
+      val base = date_format(col("o_orderdate"), "yyyyMMdd")
+      val raw = when(pmod(col("o_orderkey"), lit(6)) === 0, lit("00000000"))
+        .when(pmod(col("o_orderkey"), lit(6)) === 1, lit("99999999"))
+        .when(pmod(col("o_orderkey"), lit(6)) === 2, lit("88888888"))
+        .when(pmod(col("o_orderkey"), lit(6)) === 3,
+          concat(substring(base, 1, 4), lit("9999")))
+        .when(pmod(col("o_orderkey"), lit(6)) === 4,
+          concat(substring(base, 1, 6), lit("99")))
+        .otherwise(base)
+      t(s, dir, "orders").select(col("o_orderkey"), raw.as("raw_code"),
+        Cleansing.parseNaaccrDate(raw).as("parsed_date"))
+    }),
+
+    "f4_code_format" -> ((s, dir) => {
+      // F4: ICD-O STUFF-style code formatting + prefixed concept ids
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        Cleansing.icdDot(concat(lit("C"), col("p_partkey"))).as("site_code"),
+        concat(lit("160@"), col("p_brand")).as("prefixed"))
+    }),
+
+    "f5_cleanse" -> ((s, dir) => {
+      // F5: CR/LF/pipe strip + trim + ''→NULL (synthesized dirty strings)
+      val dirty = concat(substring(col("text"), 1, 20), lit("\r\n|"),
+        col("source"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Cleansing.cleanse(dirty).as("cleaned"),
+        Cleansing.emptyToNull(lit("  ")).as("emptied"))
+    }),
+
+    "f9_math_misc" -> ((s, dir) => {
+      // F9: ABS/MOD/ASCII/LEN/LEFT/UPPER
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(7)).as("mod7"),
+        ascii(col("lang")).as("lang_ascii"),
+        length(col("source")).as("src_len"),
+        substring(col("source"), 1, 4).as("src_left4"),
+        upper(col("lang")).as("lang_upper"))
+    }),
+
+    "f11_dim_lookup" -> ((s, dir) => {
+      // F11/X3: file/UDF lookups replaced by a broadcast dimension join
+      val dim = s.createDataFrame(Seq(
+        ("en", "English"), ("es", "Spanish"), ("de", "German"),
+        ("fr", "French"), ("zh", "Chinese"))).toDF("lang", "lang_name")
+      Relational.dimLookup(t(s, dir, "documents").alias("d"), dim.alias("m"),
+          col("d.lang") === col("m.lang"))
+        .select(col("doc_id"), col("lang_name"))
+    }),
+
+    "try_cast_soft" -> ((s, dir) => {
+      // §1.2 soft casts: NULL on failure, never error (Vertica ::!)
+      t(s, dir, "events").select(
+        col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).try_cast("int").as("prop_k"),
+        Cleansing.softCast(col("event_type"), "int").as("bad_cast"))
+    }),
+
+    "s6_pipe_extract" -> ((s, dir) => {
+      // S6: pipe-delimited extract line assembly (header trick = CSV header)
+      t(s, dir, "lineitem").select(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")).as("line"))
+    }),
+
+    // ---- training-data ops batch 2 ----------------------------------------
+    "ann_brute_force" -> ((s, dir) => {
+      // brute-force cosine top-k: query set broadcast, corpus streamed once
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    }),
+
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      // LSH (signed-random-projection) ANN — the 100-TB scale path
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      // MinHash+LSH near-duplicate candidate pairs
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      // SimHash banded near-dup candidates w/ exact Hamming distance
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("hamming") <= 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard over shingle equi-join (never cross join)
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minJaccard = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      // 64-bit normalized-content fingerprint (xxhash64) + md5 twin
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp64"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))
+          .cast("binary")).as("fp_md5"))
+    }),
+
+    "lang_id_heuristic" -> ((s, dir) => {
+      // n-gram-heuristic language ID vs the labeled lang column
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+    }),
+
+    "multimodal_meta" -> ((s, dir) => {
+      // multimodal plumbing: binary payload + typed metadata (no decode)
+      Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("payload_sha"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      // stubbed decode → feature extraction via mapPartitions (batch shape)
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, dims = 8).toDF()
+        .select("media_id", "kind", "byte_len", "payload_sha")
     })
   )
 
@@ -498,6 +770,188 @@ object SparkEntry {
     "lang_distribution" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+
+    "p1_projection_pad" ->
+      """SELECT l_orderkey, l_linenumber, '' AS filler,
+                CAST(NULL AS VARCHAR) AS missing_concept, 0 AS zero_concept
+         FROM lineitem""",
+
+    "p5_ascii_filter" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE ascii(l_returnflag) <> 32 GROUP BY l_returnflag""",
+
+    "p6_value_quality" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE value IS NOT NULL AND value > 0 AND event_type <> 'error'
+           AND upper(event_type) <> 'SIGNUP'""",
+
+    "p7_join_embedded_filter" ->
+      """SELECT o_orderkey, count(l_orderkey) AS big_lines
+         FROM orders LEFT JOIN lineitem
+           ON o_orderkey = l_orderkey AND l_quantity > 40
+          AND o_orderstatus = 'O'
+         GROUP BY o_orderkey""",
+
+    "j3_multikey_join" ->
+      """SELECT event_id, e.user_id, e.event_type, n_same
+         FROM events e JOIN
+           (SELECT user_id, event_type, count(*) AS n_same
+            FROM events GROUP BY user_id, event_type) k
+           ON e.user_id = k.user_id AND e.event_type = k.event_type""",
+
+    "j6_top1_lookup" ->
+      """SELECT c_custkey, c_name, fo.first_order
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, o_orderkey AS first_order FROM
+             (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn FROM orders) x
+            WHERE rn = 1) fo
+           ON c_custkey = fo.o_custkey""",
+
+    "j9_expr_join" ->
+      """SELECT event_id, user_id, n_name
+         FROM events JOIN nation ON user_id % 25 = n_nationkey""",
+
+    "a7_groupby_dedupe" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "a8_group_daily_max" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                max(value) AS max_value, count(*) AS n
+         FROM events GROUP BY user_id, date_trunc('day', ts)""",
+
+    "u3_code_dimension" ->
+      """SELECT DISTINCT event_type AS code, 'event' AS domain FROM events
+         UNION
+         SELECT DISTINCT lang, 'language' FROM documents""",
+
+    "w3_deterministic_pick" ->
+      """SELECT source, doc_id, lang FROM (
+           SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY doc_id ASC) AS rn FROM documents) x
+         WHERE rn = 1""",
+
+    "w5_multicol_rank" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY value DESC, event_id ASC) AS rn FROM events) x
+         WHERE rn <= 3""",
+
+    "w6_alias_resolution" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY event_id DESC) AS rn FROM events) x
+         WHERE rn = 1""",
+
+    "x1_collect_agg" ->
+      """SELECT user_id,
+                string_agg(DISTINCT event_type, ';' ORDER BY event_type)
+                  AS types_seen
+         FROM events GROUP BY user_id""",
+
+    "f2_split_part" ->
+      """SELECT doc_id,
+                string_split(concat_ws(':', source, lang), ':')[2] AS part2
+         FROM documents""",
+
+    "f3_naaccr_dates" ->
+      """WITH coded AS (
+           SELECT o_orderkey,
+                  CASE CAST(o_orderkey % 6 AS INT)
+                    WHEN 0 THEN '00000000'
+                    WHEN 1 THEN '99999999'
+                    WHEN 2 THEN '88888888'
+                    WHEN 3 THEN substr(strftime(o_orderdate,'%Y%m%d'),1,4) || '9999'
+                    WHEN 4 THEN substr(strftime(o_orderdate,'%Y%m%d'),1,6) || '99'
+                    ELSE strftime(o_orderdate,'%Y%m%d') END AS raw_code
+           FROM orders)
+         SELECT o_orderkey, raw_code,
+                CAST(CASE WHEN raw_code IN ('00000000','99999999','88888888') THEN NULL
+                     WHEN substr(raw_code,1,4) IN ('9999','0000') THEN NULL
+                     ELSE strptime(substr(raw_code,1,4) ||
+                       CASE WHEN substr(raw_code,5,2) IN ('99','00') THEN '01'
+                            ELSE substr(raw_code,5,2) END ||
+                       CASE WHEN substr(raw_code,7,2) IN ('99','00') THEN '01'
+                            ELSE substr(raw_code,7,2) END, '%Y%m%d')
+                END AS DATE) AS parsed_date
+         FROM coded""",
+
+    "f4_code_format" ->
+      """SELECT p_partkey,
+                CASE WHEN length('C' || p_partkey) > 3
+                     THEN substr('C' || p_partkey,1,3) || '.' ||
+                          substr('C' || p_partkey,4,64)
+                     ELSE 'C' || p_partkey END AS site_code,
+                '160@' || p_brand AS prefixed
+         FROM part""",
+
+    "f5_cleanse" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  substr(text,1,20) || chr(13) || chr(10) || '|' || source,
+                  '[\r\n]', '', 'g'), '\|', '-', 'g')) AS cleaned,
+                nullif(trim('  '), '') AS emptied
+         FROM documents""",
+
+    "f9_math_misc" ->
+      """SELECT doc_id, doc_id % 7 AS mod7,
+                CAST(ascii(lang) AS INT) AS lang_ascii,
+                CAST(length(source) AS INT) AS src_len,
+                substr(source,1,4) AS src_left4,
+                upper(lang) AS lang_upper
+         FROM documents""",
+
+    "f11_dim_lookup" ->
+      """WITH m(lang, lang_name) AS (VALUES
+           ('en','English'),('es','Spanish'),('de','German'),
+           ('fr','French'),('zh','Chinese'))
+         SELECT doc_id, lang_name
+         FROM documents d LEFT JOIN m ON d.lang = m.lang""",
+
+    "try_cast_soft" ->
+      """SELECT event_id,
+                TRY_CAST(regexp_extract(props,'(\d+)',1) AS INT) AS prop_k,
+                TRY_CAST(event_type AS INT) AS bad_cast
+         FROM events""",
+
+    "s6_pipe_extract" ->
+      """SELECT concat_ws('|', l_orderkey, l_linenumber, l_quantity,
+                l_returnflag, strftime(l_shipdate,'%Y-%m-%d %H:%M:%S')) AS line
+         FROM lineitem""",
+
+    "ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cand_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+         s AS (SELECT query_id, cand_id,
+                 round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                            sqrt(list_sum(list_transform(cv, x -> x*x))) = 0
+                       THEN 0.0
+                       ELSE list_sum(list_transform(list_zip(qv, cv),
+                              p -> p[1]*p[2])) /
+                            (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                             sqrt(list_sum(list_transform(cv, x -> x*x))))
+                       END, 6) AS cos
+               FROM c, q WHERE cand_id <> query_id)
+         SELECT query_id, cand_id, cos, CAST(rn AS INT) AS rank FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id ASC) AS rn FROM s) x
+         WHERE rn <= 10""",
+
+    // no oracles (driver records rows-only checks) for: ann_lsh_bucketed,
+    // dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+    // text_fingerprint (xxhash64), lang_id_heuristic, multimodal_features —
+    // their hash seeds / stub decoders are not expressible in DuckDB SQL.
+    "multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(strlen(text) AS INT) AS byte_len,
+                sha256(text) AS payload_sha
+         FROM documents"""
   )
 }

@@ -39,6 +39,10 @@ for name, sql in sorted(oracle.items()):
         for c in sc:
             a, b = s[c], k[c]
             try:
+                # normalize date/datetime representation drift (pandas shows
+                # DuckDB DATE as datetime64; Spark DATE as object of date)
+                if str(a.dtype).startswith('datetime64') or str(b.dtype).startswith('datetime64'):
+                    a = pd.to_datetime(a); b = pd.to_datetime(b)
                 eq = (a.fillna('__N__') == b.fillna('__N__')) if a.dtype == object \
                      else ((a == b) | (a.isna() & b.isna()))
                 if not eq.all():
