@@ -1,0 +1,35 @@
+package graft.lake
+
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.fs.{Path => HPath, RawLocalFileSystem}
+
+/** Local-filesystem shim for local / benchmark / test runs.
+  *
+  * Without a native Hadoop library, `RawLocalFileSystem.setPermission`
+  * forks a `chmod` subprocess for EVERY file and directory a writer task
+  * creates; with dozens of concurrent parquet writer tasks the process
+  * forks serialize the whole write stage (observed: 20/33 executor threads
+  * parked in `Shell.execCommand` during the merge benchmark — parallel
+  * scaling capped at ~1.1× from 8→32 cores). Permissions are meaningless
+  * for a single-user local lake, so they are no-ops here; extending the
+  * RAW filesystem also skips client-side `.crc` checksum twins (parquet
+  * carries its own page checksums).
+  *
+  * Wire up with:
+  * {{{
+  *   .config("spark.hadoop.fs.file.impl", classOf[FastLocalFs].getName)
+  * }}}
+  * On a real cluster the lake lives on HDFS/S3/ABFS and this class is
+  * simply not configured.
+  */
+class FastLocalFs extends RawLocalFileSystem {
+  override def setPermission(p: HPath, permission: FsPermission): Unit = ()
+}
+
+object FastLocalFs {
+  /** Spark conf entries enabling the shim. */
+  val sparkConf: Map[String, String] = Map(
+    "spark.hadoop.fs.file.impl" -> classOf[FastLocalFs].getName,
+    "spark.hadoop.fs.file.impl.disable.cache" -> "false"
+  )
+}

@@ -156,17 +156,43 @@ class LakeTable(val root: String, val numBuckets: Int) {
   /** Directory for a new snapshot's data files. */
   def newCommitDir(version: Long): Path = dataDir.resolve(f"c$version%08d")
 
-  /** List parquet files written under a commit dir, keyed by bucket=N. */
+  /** List parquet files written under a commit dir, keyed by bucket=N.
+    * Row counts come from the parquet footers (metadata-only read, no data
+    * scan) so the manifest can answer per-bucket cardinality questions —
+    * the merge path uses this instead of re-counting the target. */
   def listCommitFiles(dir: Path): Seq[ManifestFile] = {
     if (!Files.exists(dir)) return Seq.empty
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val bucket = p.getParent.getFileName.toString match {
-          case s if s.startsWith("bucket=") => s.substring(7).toInt
-          case _ => 0
-        }
-        ManifestFile(p.toString, bucket, -1L, Files.size(p))
-      }.toSeq
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val paths = Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    // footer reads in parallel — serially this is ~0.5s per commit of 64
+    // files, a driver-side fixed cost that eats into scaling efficiency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = paths.map { p => Future {
+      val bucket = p.getParent.getFileName.toString match {
+        case s if s.startsWith("bucket=") => s.substring(7).toInt
+        case _ => 0
+      }
+      ManifestFile(p.toString, bucket, footerRowCount(p, conf), Files.size(p))
+    }}
+    Await.result(Future.sequence(futures), Duration.Inf)
   }
+
+  private def footerRowCount(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Rows currently stored in the given buckets, from manifest metadata
+    * alone (no file scan). Returns None if any file lacks a footer count. */
+  def bucketRows(buckets: Set[Int]): Option[Long] = currentManifest.map { m =>
+    val fs = m.files.filter(f => buckets.contains(f.bucket))
+    if (fs.exists(_.rows < 0)) -1L else fs.map(_.rows).sum
+  }.filter(_ >= 0)
 }

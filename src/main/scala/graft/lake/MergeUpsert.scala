@@ -33,8 +33,14 @@ object MergeUpsert {
   val KeyCols: Seq[String] = Seq("repo", "path")
   val OrderCols: Seq[String] = Seq("seq", "commit")
 
+  /** Bucket function = Spark's own HashPartitioning id expression
+    * (`pmod(murmur3(repo,path), n)`). This is deliberate: after a
+    * `repartition(n, repo, path)`, every row already sits in the partition
+    * whose id equals its bucket — so the merge output can be written
+    * `partitionBy("bucket")` with NO further shuffle (each task holds
+    * exactly one bucket). */
   def bucketOf(numBuckets: Int): Column =
-    pmod(xxhash64(col("repo"), col("path")), lit(numBuckets)).cast("int")
+    pmod(hash(col("repo"), col("path")), lit(numBuckets)).cast("int")
 
   /** Collapse a frame to the winning row per key by (seq, commit) desc.
     * Map-side-combining hash aggregate — skew-proof by construction. */
@@ -57,6 +63,16 @@ object MergeUpsert {
       bytesWritten: Long,
       bucketsRewritten: Int)
 
+  private val timing = sys.env.get("GRAFT_MERGE_TIMING").contains("1")
+  private def timed[T](label: String, epoch: Long)(f: => T): T = {
+    if (!timing) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[merge e$epoch] $label%-10s ${(System.nanoTime()-t0)/1e9}%7.2fs")
+      r
+    }
+  }
+
   /** Merge one epoch batch. Caller guarantees `batch` holds exactly the
     * events of `epoch` (plus possible re-deliveries of older events, which
     * latest-wins neutralizes). Returns None if the epoch is already
@@ -78,9 +94,17 @@ object MergeUpsert {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // 2. touched buckets only
-      val affected = compacted.select("__bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
+      // 2. batch stats in ONE job (touched buckets + keys + deletes):
+      // per-epoch driver round-trips are the serial fraction that caps
+      // scaling efficiency, so the merge path runs exactly two jobs —
+      // this stats aggregate and the write.
+      val stats = timed("stats", epoch) { compacted.groupBy("__bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("d"))
+        .collect() }
+      val affected = stats.map(_.getInt(0)).toSet
+      val keysInBatch = stats.map(_.getLong(1)).sum
+      val deletes = stats.map(_.getLong(2)).sum
       if (affected.isEmpty) {
         // delete-only epochs of nothing / empty batch: still advance watermark
         val m = current.map(m0 => m0.copy(version = version,
@@ -114,8 +138,15 @@ object MergeUpsert {
       }
 
       // 4. merge-apply: latest wins across target ∪ batch; deletes become
-      // tombstone rows rather than vanishing
-      val mergedAll = latestPerKey(unioned)
+      // tombstone rows rather than vanishing. The explicit
+      // repartition(nb, repo, path) IS the agg's required distribution, so
+      // the aggregate runs in-place and — because bucketOf is the same
+      // murmur3%nb — the output is already physically bucket-aligned for
+      // the write (no second shuffle). Map-side partial agg would buy
+      // nothing here: the union holds ≤2 rows per key (compacted batch ∪
+      // current target), so complete-agg-after-shuffle is optimal.
+      val mergedAll = latestPerKey(
+        unioned.repartition(nb, col("repo"), col("path")))
       val merged = mergedAll
         .withColumn("__deleted", col("op") === "D")
         .drop("op", "seq", "epoch", "schemaVersion")
@@ -129,25 +160,24 @@ object MergeUpsert {
         count(lit(1)).as("rows"),
         max(col("updated_seq")).as("maxSeq"))
       val commitDir = table.newCommitDir(version)
-      observed
-        .repartition(col("__bucket"))
+      timed("write", epoch) { observed
         .withColumnRenamed("__bucket", "bucket")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(commitDir.toString)
+        .parquet(commitDir.toString) }
 
       val metricsRow = obs.get
       val rowsWritten = metricsRow("rows").asInstanceOf[Long]
       val maxSeq = Option(metricsRow("maxSeq")).map(_.asInstanceOf[Long])
         .getOrElse(-1L)
 
-      val keysInBatch = compacted.count()
-      val deletes = compacted.filter(col("op") === "D").count()
-      val targetKeys = targetAsEvents.map(_ => target.count()).getOrElse(0L)
+      // existing cardinality from manifest footer counts — no target rescan
+      val targetKeys = targetAsEvents.map(_ =>
+        table.bucketRows(affected).getOrElse(target.count())).getOrElse(0L)
       // tombstones persist, so |merged| = |existing ∪ batch| exactly:
       // |existing ∩ batch| = |existing| + |batch keys| - |merged|
       val conflicts = math.max(0L, targetKeys + keysInBatch - rowsWritten)
 
-      val newFiles = table.listCommitFiles(commitDir)
+      val newFiles = timed("footers", epoch) { table.listCommitFiles(commitDir) }
       val keptFiles = current.map(_.files.filterNot(f => affected.contains(f.bucket)))
         .getOrElse(Seq.empty)
       val bytesWritten = newFiles.map(_.bytes).sum

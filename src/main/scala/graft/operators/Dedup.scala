@@ -29,13 +29,35 @@ object Dedup {
 
   /** MinHash signature column: array of `numHashes` 64-bit minima over
     * the doc's word `k`-shingles. Pure array expressions — per-row work,
-    * zero shuffle. */
+    * zero shuffle.
+    *
+    * Perf-critical shape: the shingle set is hashed ONCE (`xxhash64` per
+    * shingle), and the `numHashes` signature slots are derived from that
+    * base hash by universal-hash remixes `a_i*h + b_i` (odd multipliers from
+    * splitmix64 of the slot index) — cheap integer arithmetic instead of
+    * re-tokenizing the document per slot. Writing it as
+    * `array((0 until n).map(seed => array_min(transform(shingles, ...))))`
+    * inlines the whole shingling expression tree n times and is ~50×
+    * slower; measured, not theorized. */
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles(text, k)
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }
-    array(sigs: _*)
+    val baseHashes = transform(TextAnalysis.shingles(text, k),
+      s => xxhash64(s))
+    // (a_i, b_i) universal-hash coefficients as one foldable const array;
+    // both operands masked to 31 bits so a*h+b ≤ 2^62 + 2^31 — no long
+    // overflow (Spark 4 runs ANSI mode: wrapping arithmetic THROWS)
+    val mask31 = 0x7FFFFFFFL
+    val coeffs = array((0 until numHashes).map { i =>
+      val a = (graft.gen.ChangeGen.mix64(i.toLong * 2 + 1) & mask31) | 1L // odd
+      val b = graft.gen.ChangeGen.mix64(~i.toLong) & mask31
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    // single pass: fold the hashed shingles once, updating all slots per
+    // element — `baseHashes` (the expensive part) is evaluated exactly once
+    aggregate(baseHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, coeffs,
+        (m, ab) => least(m,
+          h.bitwiseAND(lit(mask31)) * ab.getField("a") + ab.getField("b"))))
   }
 
   /** MinHash + LSH banding: returns candidate near-duplicate pairs
@@ -82,12 +104,16 @@ object Dedup {
   def simHash(text: Column, nBits: Int = 32): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
     val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until nBits).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+    // one foldable array of single-bit masks; bit test via AND, no shifts
+    val masks = array((0 until nBits).map(i => lit(1L << i)): _*)
+    // single pass over the token hashes (evaluated once — per-bit aggregate
+    // loops would re-tokenize the text nBits times), voting all bits per
+    // element; then fold votes → packed sign bits
+    val votes = aggregate(hashes, array_repeat(lit(0L), nBits),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /** SimHash near-dup candidates: band the hash into `chunks` chunks; docs

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+import graft.oracle.FoldOracle
+import graft.streaming.StreamIngest
+
+/** Structured-Streaming WAL-tail ingest: drain-available-now semantics,
+  * resume across restarts, bounded-batch tailing — all converging to the
+  * fold-oracle state (north_rule replay equivalence, streaming flavor). */
+class StreamIngestSpec extends SparkSpec {
+
+  private val cfg = GenConfig(seed = 11L, numEvents = 4000L, numRepos = 15,
+    pathsPerRepo = 40, epochSize = 500L)
+
+  private def oracleDigest(c: GenConfig): String =
+    FoldOracle.digestOfState(FoldOracle.expectedState(c))
+
+  private def writeWal(dir: String, c: GenConfig, fromSeq: Long, toSeq: Long): Unit = {
+    import spark.implicits._
+    spark.range(fromSeq, toSeq).map(i => ChangeGen.eventAt(c, i)).toDF()
+      .coalesce(4)
+      .write.mode("append").parquet(dir)
+  }
+
+  private def walSchema = {
+    import spark.implicits._
+    spark.emptyDataset[graft.model.ChangeEvent].toDF().schema
+  }
+
+  test("AvailableNow stream drains the WAL and matches the fold oracle") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    val table = new LakeTable(tmpDir("lake"), 8)
+    writeWal(wal, cfg, 0, cfg.numEvents)
+    val q = StreamIngest.start(spark, wal, walSchema, table, ckpt)
+    q.awaitTermination()
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracleDigest(cfg))
+  }
+
+  test("restarted stream resumes from checkpoint; new files merge incrementally") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    val table = new LakeTable(tmpDir("lake"), 8)
+    writeWal(wal, cfg, 0, 2000)
+    StreamIngest.start(spark, wal, walSchema, table, ckpt).awaitTermination()
+    val midDigest = FoldOracle.digestOfTable(table.snapshot(spark))
+    assert(midDigest == FoldOracle.digestOfState(FoldOracle.expectedState(
+      (0L until 2000L).map(ChangeGen.eventAt(cfg, _)))))
+
+    // second tranche lands; a NEW query on the SAME checkpoint resumes and
+    // processes only the new files
+    writeWal(wal, cfg, 2000, cfg.numEvents)
+    StreamIngest.start(spark, wal, walSchema, table, ckpt).awaitTermination()
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracleDigest(cfg))
+  }
+
+  test("bounded batches (maxFilesPerTrigger=1) converge to the same state") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    val table = new LakeTable(tmpDir("lake"), 8)
+    writeWal(wal, cfg, 0, cfg.numEvents) // 4 files (coalesce(4))
+    val q = StreamIngest.start(spark, wal, walSchema, table, ckpt,
+      Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // several micro-batches committed, each an idempotent epoch
+    assert(table.lastCommittedEpoch >= 1)
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracleDigest(cfg))
+  }
+
+  test("re-running a fully-drained stream with a fresh checkpoint is a harmless replay") {
+    val wal = tmpDir("wal")
+    val table = new LakeTable(tmpDir("lake"), 8)
+    writeWal(wal, cfg, 0, cfg.numEvents)
+    StreamIngest.start(spark, wal, walSchema, table, tmpDir("ckpt1")).awaitTermination()
+    val d1 = FoldOracle.digestOfTable(table.snapshot(spark))
+    // lost checkpoint → full re-delivery of every file: latest-wins by
+    // (seq, commit) makes the duplicate replay a semantic no-op
+    StreamIngest.start(spark, wal, walSchema, table, tmpDir("ckpt2")).awaitTermination()
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == d1)
+  }
+}
