@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Replayer
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.{LakeTable, Maintenance}
+import graft.oracle.FoldOracle
+
+/** Vacuum / compaction: table state is invariant under maintenance, orphan
+  * and superseded files are reclaimed, tombstone GC respects the watermark. */
+class MaintenanceSpec extends SparkSpec {
+
+  private val cfg = GenConfig(seed = 23L, numEvents = 3000L, numRepos = 12,
+    pathsPerRepo = 30, epochSize = 500L, pctDelete = 25, pctInsert = 30,
+    pctUpdate = 45)
+
+  private def replayed(): LakeTable = {
+    val table = new LakeTable(tmpDir("lake"), 4)
+    Replayer.run(spark, ChangeGen.stream(spark, cfg).toDF(), table, maxEpoch = 5)
+    table
+  }
+
+  test("vacuum reclaims superseded + orphan files; state digest unchanged") {
+    val table = replayed()
+    val before = FoldOracle.digestOfTable(table.snapshot(spark))
+
+    // plant a crash orphan: data files written, no manifest commit
+    val orphan = table.newCommitDir(table.currentVersion + 7)
+    Files.createDirectories(orphan.resolve("bucket=0"))
+    Files.writeString(orphan.resolve("bucket=0/part-orphan.parquet"), "junk")
+
+    val res = Maintenance.vacuum(table)
+    assert(res.filesDeleted > 0)
+    assert(res.manifestsDropped > 0)
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == before)
+    assert(!Files.exists(orphan.resolve("bucket=0/part-orphan.parquet")))
+    // every referenced file still present
+    table.currentManifest.get.files.foreach(f =>
+      assert(Files.exists(Paths.get(f.path)), f.path))
+  }
+
+  test("vacuum with retention keeps older versions readable") {
+    val table = replayed()
+    val head = table.currentVersion
+    Maintenance.vacuum(table, retainVersions = 2)
+    // head and head-1 manifests must survive; head-2 must not
+    assert(Files.exists(Paths.get(table.root, "_log", f"v$head%08d.json")))
+    assert(Files.exists(Paths.get(table.root, "_log", f"v${head - 1}%08d.json")))
+    assert(!Files.exists(Paths.get(table.root, "_log", f"v${head - 2}%08d.json")))
+    assert(table.readManifest(head - 1).files.forall(f =>
+      Files.exists(Paths.get(f.path))))
+  }
+
+  test("tombstone compaction: live state unchanged, tombstones ≤ watermark gone") {
+    val table = replayed()
+    val before = FoldOracle.digestOfTable(table.snapshot(spark))
+    val tombsBefore = table.read(spark).filter(col("__deleted")).count()
+    assert(tombsBefore > 0, "fixture must contain deletes")
+
+    val m = Maintenance.compactTombstones(spark, table, watermark = Long.MaxValue)
+    assert(m.isDefined)
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == before)
+    assert(table.read(spark).filter(col("__deleted")).count() == 0)
+    // one file per non-empty bucket after compaction
+    val byBucket = table.currentManifest.get.files.groupBy(_.bucket)
+    assert(byBucket.values.forall(_.size == 1))
+  }
+
+  test("partial watermark keeps newer tombstones (re-delivery safety)") {
+    val table = replayed()
+    val tombSeqs = table.read(spark).filter(col("__deleted"))
+      .select("updated_seq").collect().map(_.getLong(0)).sorted
+    assume(tombSeqs.length >= 2)
+    val mid = tombSeqs(tombSeqs.length / 2)
+    Maintenance.compactTombstones(spark, table, watermark = mid)
+    val remaining = table.read(spark).filter(col("__deleted"))
+      .select("updated_seq").collect().map(_.getLong(0))
+    assert(remaining.forall(_ > mid))
+    assert(remaining.nonEmpty)
+  }
+
+  test("replay continues correctly after vacuum + compaction") {
+    val table = new LakeTable(tmpDir("lake"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(2))
+    Maintenance.compactTombstones(spark, table, watermark = Long.MaxValue)
+    Maintenance.vacuum(table)
+    Replayer.run(spark, events, table, maxEpoch = 5)
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) ==
+      FoldOracle.digestOfState(FoldOracle.expectedState(cfg)))
+  }
+}
