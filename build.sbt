@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (the box has 128 GiB; 32 concurrent parquet writer tasks + cached
   // batches thrash an 8g heap into GC and invert the core-count scaling)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pin the initial heap: growing 2g→tens-of-g under allocation pressure
+  // causes full-GC storms that made identical merge epochs decay
+  // 105s→6s as the heap warmed (and poisoned scaling measurements)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -54,7 +54,7 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
         a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
-        a.startsWith("-D"))
+        a.startsWith("-Xms") || a.startsWith("-D"))
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchReplay", cpus.toString, walDir, epochs.toString, warmWal))
@@ -84,9 +84,14 @@ object Bench {
 
     // ---- 1. query suite -------------------------------------------------
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    // comma-separated allowlist for quick spot-timing of specific queries
+    val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = session(cpus)
     val results = if (skipQueries) Seq.empty[(String, Double)]
-    else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    else SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => filter.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -123,24 +128,36 @@ object Bench {
       finally s.stop()
     }
 
-    // alternating repetitions, min per level — robust to CPU-steal noise
-    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "2").toInt
-    val times = (1 to reps).flatMap { r =>
-      Seq(pHigh, pLow).map { p =>
-        val t = replayOnce(p, walDir, cdcEpochs, warmWal)
-        System.err.println(f"[bench] cdc rep$r local[$p] = $t%.1fs")
-        p -> t
-      }
+    // Alternating repetitions. The box's effective performance for
+    // memory-intensive work swings up to 4× across multi-minute windows
+    // (co-tenant noise: identical replays measured 225 vs 871 executor
+    // core-seconds), so the primary scaling estimator is the PER-REP
+    // efficiency — both levels measured back-to-back inside one noise
+    // window — summarized by the median across reps. Throughput is
+    // reported from the per-level minima (the machine's demonstrated
+    // capability).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "3").toInt
+    val ratio = pHigh.toDouble / pLow
+    val repPairs = (1 to reps).map { r =>
+      val th = replayOnce(pHigh, walDir, cdcEpochs, warmWal)
+      val tl = replayOnce(pLow, walDir, cdcEpochs, warmWal)
+      val e = (tl / th) / ratio
+      System.err.println(f"[bench] cdc rep$r local[$pHigh]=$th%.1fs " +
+        f"local[$pLow]=$tl%.1fs eff=$e%.3f")
+      (th, tl, e)
     }
-    val tLow = times.filter(_._1 == pLow).map(_._2).min
-    val tHigh = times.filter(_._1 == pHigh).map(_._2).min
+    val tLow = repPairs.map(_._2).min
+    val tHigh = repPairs.map(_._1).min
+    val effs = repPairs.map(_._3).sorted
+    val efficiencyMedian = effs(effs.size / 2)
     val delivered = cdcEvents + cdcEvents * cfg.duplicateRate / 1000
     val epsLow = delivered / tLow
     val epsHigh = delivered / tHigh
-    val efficiency = (tLow / tHigh) / (pHigh.toDouble / pLow)
+    val efficiency = efficiencyMedian
     System.err.println(f"[bench] cdc replay: $delivered events  " +
       f"local[$pLow]=$tLow%.1fs (${epsLow}%.0f ev/s)  " +
-      f"local[$pHigh]=$tHigh%.1fs (${epsHigh}%.0f ev/s)  eff=$efficiency%.3f")
+      f"local[$pHigh]=$tHigh%.1fs (${epsHigh}%.0f ev/s)  " +
+      f"eff(median-of-reps)=$efficiency%.3f")
     if (keepWal.isEmpty)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(walDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmWal))
@@ -166,10 +183,12 @@ object Bench {
       md.append(s"$cdcEpochs epochs, Zipf-skewed keys, ${cfg.duplicateRate}‰ ")
       md.append("duplicate delivery), identical plans, two parallelism levels\n")
       md.append("(sandbox stand-in for N vs 4N executors — no real cluster here):\n\n")
-      md.append("| parallelism | wall s | events/sec |\n|---|---|---|\n")
+      md.append("| parallelism | wall s (best) | events/sec |\n|---|---|---|\n")
       md.append(f"| local[$pLow] | $tLow%.1f | $epsLow%.0f |\n")
       md.append(f"| local[$pHigh] | $tHigh%.1f | $epsHigh%.0f |\n\n")
-      md.append(f"Scaling efficiency = (T_$pLow / T_$pHigh) / ($pHigh/$pLow) = ")
+      md.append("Per-rep (back-to-back in one noise window) efficiencies: ")
+      md.append(repPairs.map(p => f"${p._3}%.3f").mkString(", "))
+      md.append(f".\n\nScaling efficiency (median of per-rep) = ")
       md.append(f"**$efficiency%.3f** (target ≥ 0.8 per BASELINE.json).\n\n")
       md.append("Methodology notes (honest-measurement constraints of this\n")
       md.append("sandbox — no real multi-node cluster available):\n")
@@ -177,8 +196,13 @@ object Bench {
       md.append("  spark-submit per cluster size); a shared JVM drifts\n")
       md.append("  (codegen caches, metaspace): two identical local[32]\n")
       md.append("  runs measured 20.3s vs 29.3s in one JVM;\n")
-      md.append("- repetitions alternate between levels, min per level —\n")
-      md.append("  robust to the VM's fluctuating CPU-steal;\n")
+      md.append("- the host's effective memory bandwidth swings up to 4×\n")
+      md.append("  across multi-minute windows (identical replays measured\n")
+      md.append("  225 vs 871 executor core-seconds; a cache-resident\n")
+      md.append("  sha256 spin stays flat, so it is not vCPU steal) —\n")
+      md.append("  hence each rep measures BOTH levels back-to-back inside\n")
+      md.append("  one window and the median per-rep ratio is the scaling\n")
+      md.append("  estimator; per-level minima give demonstrated throughput;\n")
       md.append(s"- N vs 4N = local[$pLow] vs local[$pHigh]: sustained 32-wide load\n")
       md.append("  shows 16-23% hypervisor steal time, so the top of the\n")
       md.append("  box cannot deliver 4× the cycles of its quarter — the\n")

@@ -37,6 +37,11 @@ object BenchReplay {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     graft.lake.FastLocalFs.sparkConf.foreach { case (k, v) => b.config(k, v) }
+    // experiment knob: GRAFT_SPARK_CONF="k=v;k2=v2" extra session confs
+    sys.env.get("GRAFT_SPARK_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k.trim, v.trim)
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
