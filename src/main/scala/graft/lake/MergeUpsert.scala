@@ -43,12 +43,17 @@ object MergeUpsert {
     pmod(hash(col("repo"), col("path")), lit(numBuckets)).cast("int")
 
   /** Collapse a frame to the winning row per key by (seq, commit) desc.
-    * Map-side-combining hash aggregate — skew-proof by construction. */
+    * Map-side-combining HASH aggregate — skew-proof by construction.
+    * Uses the custom [[graft.functions.LatestBy]] ObjectHashAggregate:
+    * the builtin `max_by(struct, struct)` carries a struct buffer that
+    * HashAggregateExec can't hold, silently degrading to SortAggregate
+    * (per-partition n·log n sort of every merge batch — asserted against
+    * in PlanSpec). */
   def latestPerKey(df: DataFrame): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
     val ord = struct(col("seq"), col("commit"))
     df.groupBy(KeyCols.map(col): _*)
-      .agg(max_by(payload, ord).as("__w"))
+      .agg(graft.functions.LatestBy(payload, ord).as("__w"))
       .select(col("__w.*"))
   }
 

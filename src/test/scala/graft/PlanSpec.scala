@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the scale properties SURVEY.md §4.3 promises are
+  * asserted here, not eyeballed — filter/column pushdown reaches the
+  * parquet scan, dimension joins broadcast, semi/anti joins plan as such,
+  * aggregates are partial+final, hot paths stay inside whole-stage
+  * codegen, and the ANN "cross join" is a broadcast nested loop (a
+  * streamed corpus pass), never a CartesianProduct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("s1 lookback scan: predicate and projection push into the parquet scan") {
+    val p = plan("s1_lookback_scan")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+    // pruned read schema — value column list, not the whole table
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), "untouched column must be pruned:\n" + p)
+  }
+
+  test("j10 dimension lookup plans as a broadcast hash join") {
+    val p = plan("j10_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j5 IN-subquery plans as a left-semi join") {
+    val p = plan("j5_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("anti-join delete detection plans as left-anti") {
+    val p = plan("anti_join_deletes")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q1 rollup uses two-phase hash aggregation inside codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "map-side partial agg expected:\n" + p)
+    val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtrees"), cg.take(500))
+  }
+
+  test("ann brute force is a broadcast nested loop, never a cartesian product") {
+    val p = plan("ann_brute_force")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w1 latest-wins plans a single window over one shuffle") {
+    val p = plan("w1_latest_wins")
+    assert(p.contains("Window"), p)
+    // one exchange for the window partitioning, no extra sorts/shuffles
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("merge-apply compaction is a hash aggregate (map-side combining), not a window") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(numEvents = 100)).toDF()
+      .withColumn("__bucket", graft.lake.MergeUpsert.bucketOf(4))
+    val p = graft.lake.MergeUpsert.latestPerKey(ev)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"),
+      "struct-buffer max_by degrades to SortAggregate (per-partition sort):\n" + p)
+    assert(!p.contains("Window"), "window would ship every duplicate to one task:\n" + p)
+  }
+
+  test("j2 left enrichment broadcasts the dimension side") {
+    val p = plan("j2_left_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("hash sampling pushes the pmod filter below the scan output") {
+    val p = plan("p8_hash_sample")
+    // the filter is an expression on event_id — evaluated in the scan stage
+    // within whole-stage codegen (the "[codegen id : N]" node annotation),
+    // no shuffle at all
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("[codegen id :"), p)
+  }
+}
