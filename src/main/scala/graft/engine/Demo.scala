@@ -18,13 +18,14 @@ object Demo {
     val dir = args.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-demo").toString)
 
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.lake.FastLocalFs.sparkConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = GenConfig(seed = 42L, numEvents = numEvents,
