@@ -34,7 +34,7 @@ object Demo {
       duplicateRate = 50) // 5% re-delivered events
     val maxEpoch = (numEvents - 1) / cfg.epochSize
 
-    val table = new LakeTable(dir, numBuckets = 16)
+    val table = new LakeTable(dir, 16)
     val events = ChangeGen.stream(spark, cfg).toDF()
 
     println(s"[demo] replaying ${numEvents} events in ${maxEpoch + 1} epochs → $dir")

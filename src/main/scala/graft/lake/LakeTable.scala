@@ -1,10 +1,12 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Iceberg-style lake table implemented from scratch over Parquet + a
   * versioned JSON manifest log (SURVEY.md §4.3: no Iceberg jar exists in
@@ -12,25 +14,44 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Layout:
   * {{{
-  *   <root>/_log/v00000001.json ...   // manifest per committed snapshot
-  *   <root>/data/c<version>/bucket=N/part-*.parquet
+  *   <root>/_log/v00000001.json ...          // manifest per committed snapshot
+  *   <root>/data/c<version>-<nonce>/bucket=N/part-*.parquet
   * }}}
+  *
+  * Storage model is '''delta-append + merge-on-read''' (the Hudi-MoR /
+  * Iceberg-v2 shape): each ingested epoch appends one small DELTA commit
+  * (only the batch's winning rows), and reads collapse base ∪ deltas with
+  * latest-wins per key; [[Maintenance.compact]] folds deltas into a new
+  * BASE tier asynchronously. This bounds per-epoch write amplification at
+  * O(batch) instead of O(table) — the property that survives 10^10 events,
+  * where copy-on-write at bucket grain rewrote nearly the whole table per
+  * epoch under Zipf-skewed keys.
   *
   * Commit protocol (exactly-once, the answer to the reference's open
   * idempotency item /root/reference/Delphi/ArchitecturePlan.md:74):
-  *  1. write data files for the new snapshot (never mutated after);
+  *  1. write immutable data files into a fresh uniquely-named commit dir
+  *     (the nonce means two racing writers can never clobber each other's
+  *     staging files);
   *  2. write manifest to a temp file;
-  *  3. `Files.move(tmp, v<N+1>.json)` WITHOUT replace — an atomic
-  *     compare-and-swap: a concurrent/replayed committer loses the race
-  *     with FileAlreadyExistsException and must re-read the log.
+  *  3. hard-link it to `v<N+1>.json` — an atomic compare-and-swap: a
+  *     concurrent committer loses with FileAlreadyExistsException and must
+  *     re-read the log. Delta commits are content-independent, so a CAS
+  *     loser simply re-bases its manifest on the new head and retries —
+  *     no data files are rewritten.
   * A crash between (1) and (3) leaves orphan data files that no manifest
-  * references — harmless, reclaimable by vacuum.
+  * references — harmless, reclaimable by vacuum (after a grace window).
   *
-  * The manifest records per-bucket file lists (partition pruning for
-  * merge reads), the committed epoch/seq watermark (resume point), the
-  * evolved schema, and per-epoch lineage metrics (north_star).
+  * The manifest records per-bucket file lists with a base/delta tier tag
+  * (partition pruning + compaction planning), the committed epoch/seq
+  * watermark (resume point), the evolved schema, engine-level column
+  * RENAME mappings (canonical name → former physical names, so old files
+  * merge into the renamed column without rewrite — Iceberg column mapping
+  * by alias rather than field id), the bucket-function identifier (a table
+  * written under a different hash function fails fast instead of silently
+  * mis-bucketing), and per-epoch lineage metrics (north_star).
   */
-final case class ManifestFile(path: String, bucket: Int, rows: Long, bytes: Long)
+final case class ManifestFile(path: String, bucket: Int, rows: Long,
+                              bytes: Long, tier: String)
 
 final case class Manifest(
     version: Long,
@@ -38,13 +59,28 @@ final case class Manifest(
     lastSeq: Long,            // max seq merged (-1 = empty)
     schemaJson: String,       // Spark StructType JSON (evolves on merge)
     numBuckets: Int,
+    bucketFn: String,         // identifies the bucket hash function
+    renames: Map[String, Seq[String]], // canonical col -> former names (newest first)
     files: Seq[ManifestFile],
-    lineage: Map[String, String] // per-commit metrics: eventsApplied, conflicts, bytesWritten, buckets
+    lineage: Map[String, String] // per-commit metrics: events, conflicts, bytes, ...
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def baseFiles: Seq[ManifestFile] = files.filter(_.tier == "base")
+  def deltaFiles: Seq[ManifestFile] = files.filter(_.tier == "delta")
+  /** Feed-side alias map: former physical/feed name → canonical name. */
+  def feedAliases: Map[String, String] =
+    renames.flatMap { case (canon, formers) => formers.map(_ -> canon) }
 }
 
-class LakeTable(val root: String, val numBuckets: Int) {
+object LakeTable {
+  /** Identifier of [[MergeUpsert.bucketOf]]'s hash function. Recorded in
+    * every manifest; opening a table written under a different function
+    * throws instead of silently mis-bucketing (a changed hash would route
+    * merge reads/writes to the wrong buckets with no error). */
+  val BucketFn = "murmur3_pmod_v1"
+}
+
+class LakeTable(val root: String, defaultNumBuckets: Int) {
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_log")
   private def dataDir: Path = Paths.get(root, "data")
@@ -52,16 +88,23 @@ class LakeTable(val root: String, val numBuckets: Int) {
   Files.createDirectories(logDir)
   Files.createDirectories(dataDir)
 
+  /** Buckets are a TABLE property: once the first manifest is committed its
+    * value wins; the constructor arg only seeds a fresh table. */
+  def numBuckets: Int =
+    currentManifest.map(_.numBuckets).getOrElse(defaultNumBuckets)
+
   // ---------------- manifest log ----------------
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
   def currentVersion: Long = {
-    val vs = Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.substring(1, n.length - 5).toLong)
-      .toSeq
+    val vs = Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .toSeq
+    }
     if (vs.isEmpty) 0L else vs.max
   }
 
@@ -72,19 +115,30 @@ class LakeTable(val root: String, val numBuckets: Int) {
 
   def readManifest(v: Long): Manifest = {
     val node = mapper.readTree(Files.readAllBytes(versionPath(v)))
-    Manifest(
+    val m = Manifest(
       version = node.get("version").asLong(),
       epochWatermark = node.get("epochWatermark").asLong(),
       lastSeq = node.get("lastSeq").asLong(),
       schemaJson = node.get("schemaJson").asText(),
       numBuckets = node.get("numBuckets").asInt(),
+      bucketFn = Option(node.get("bucketFn")).map(_.asText())
+        .getOrElse(LakeTable.BucketFn),
+      renames = Option(node.get("renames")).map(_.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap).getOrElse(Map.empty),
       files = node.get("files").elements().asScala.map { f =>
         ManifestFile(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("rows").asLong(), f.get("bytes").asLong())
+          f.get("rows").asLong(), f.get("bytes").asLong(),
+          Option(f.get("tier")).map(_.asText()).getOrElse("base"))
       }.toSeq,
       lineage = node.get("lineage").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap
     )
+    require(m.bucketFn == LakeTable.BucketFn,
+      s"table $root was written with bucket function '${m.bucketFn}' but " +
+        s"this engine uses '${LakeTable.BucketFn}' — refusing to read " +
+        "(keys would silently land in wrong buckets); rewrite the table")
+    m
   }
 
   /** Atomic CAS commit of the next manifest version. Returns false if a
@@ -96,11 +150,18 @@ class LakeTable(val root: String, val numBuckets: Int) {
     node.put("lastSeq", m.lastSeq)
     node.put("schemaJson", m.schemaJson)
     node.put("numBuckets", m.numBuckets)
+    node.put("bucketFn", m.bucketFn)
+    val rn = node.putObject("renames")
+    m.renames.foreach { case (canon, formers) =>
+      val arr = rn.putArray(canon)
+      formers.foreach(arr.add)
+    }
     val arr = node.putArray("files")
     m.files.foreach { f =>
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("bucket", f.bucket)
       fn.put("rows", f.rows); fn.put("bytes", f.bytes)
+      fn.put("tier", f.tier)
     }
     val lin = node.putObject("lineage")
     m.lineage.foreach { case (k, v) => lin.put(k, v) }
@@ -120,12 +181,78 @@ class LakeTable(val root: String, val numBuckets: Int) {
     }
   }
 
+  // ---------------- schema evolution: engine-side column rename ----------
+
+  /** Rename a canonical column WITHOUT rewriting any data file. The
+    * mapping is recorded in the manifest: files written before the rename
+    * keep their physical column and the read path coalesces
+    * `(new-name, former-names...)` into the canonical column; change-feed
+    * batches still using a former name are normalized by
+    * [[MergeUpsert.mergeEpoch]] via [[Manifest.feedAliases]].
+    *
+    * The reference's observed drift this answers: columns renamed/added
+    * mid-history (/root/reference/CNExT/cnext_person.sql:40,
+    * /root/reference/Delphi/docs/project_notes/bugs.md:17-22). */
+  def renameColumn(oldName: String, newName: String): Manifest = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val m = currentManifest.getOrElse(
+        throw new IllegalStateException("cannot rename a column of an empty table"))
+      val schema = m.schema
+      val reserved = MergeUpsert.KeyCols ++ Seq("updated_seq", "__deleted",
+        "commit", "content_sha")
+      require(!reserved.contains(oldName) && !reserved.contains(newName),
+        s"cannot rename engine key/system column ($oldName -> $newName)")
+      require(schema.fieldNames.contains(oldName), s"no column '$oldName'")
+      require(!schema.fieldNames.contains(newName), s"column '$newName' exists")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      // chain: formers of old column trail behind the new canonical name
+      val formerChain = oldName +: m.renames.getOrElse(oldName, Seq.empty)
+      val renames = (m.renames - oldName) + (newName -> formerChain)
+      val next = m.copy(version = m.version + 1,
+        schemaJson = newSchema.json, renames = renames,
+        lineage = m.lineage + (s"rename_v${m.version + 1}" -> s"$oldName->$newName"))
+      if (tryCommit(next)) return next
+      if (attempts > 100)
+        throw new IllegalStateException("renameColumn: CAS contention")
+    }
+    sys.error("unreachable")
+  }
+
   // ---------------- reads ----------------
 
-  /** Read the current snapshot (empty frame with stored schema if no rows).
-    * `buckets = Some(set)` prunes to the given buckets' files — the merge
-    * path never reads untouched buckets. */
-  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame =
+  /** Requested physical schema: canonical columns plus, for every renamed
+    * column, its former physical names (same type). Parquet-by-name read
+    * fills whichever the file has; the others are NULL. */
+  private def physicalSchema(m: Manifest): StructType = {
+    val canon = m.schema
+    val formers = m.renames.toSeq.flatMap { case (cName, formerNames) =>
+      val t = canon(cName)
+      formerNames.map(fn => StructField(fn, t.dataType, nullable = true))
+    }
+    StructType(canon.fields ++ formers)
+  }
+
+  /** Canonicalizing projection over a raw physical read: each renamed
+    * column becomes coalesce(canonical, formers...) — exactly one of them
+    * is non-null per row generation, so values survive the rename and a
+    * genuinely-NULL value stays NULL. */
+  private def canonicalize(m: Manifest, df: DataFrame): DataFrame = {
+    if (m.renames.isEmpty) df
+    else df.select(m.schema.fields.map { f =>
+      m.renames.get(f.name) match {
+        case Some(formers) =>
+          coalesce((f.name +: formers).map(col): _*).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+  }
+
+  /** All stored row versions (base + deltas), canonical columns, WITHOUT
+    * merge-on-read collapse. One physical scan, no shuffle. */
+  def readRaw(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame =
     currentManifest match {
       case None => spark.emptyDataFrame
       case Some(m) =>
@@ -134,50 +261,82 @@ class LakeTable(val root: String, val numBuckets: Int) {
           case None => m.files
         }
         if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
         else
-          spark.read.schema(m.schema).parquet(files.map(_.path): _*)
+          canonicalize(m,
+            spark.read.schema(physicalSchema(m)).parquet(files.map(_.path): _*))
     }
 
-  /** Live snapshot: current rows minus delete tombstones. Tombstones are
+  /** Current snapshot, merge-on-read: base ∪ deltas collapsed to the
+    * winning row per key by (updated_seq, commit). Includes tombstone rows
+    * (`__deleted = true`). When no deltas exist (just compacted) the base
+    * already holds exactly one row per key and the collapse is skipped —
+    * post-compaction reads pay zero aggregation. */
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    val raw = readRaw(spark, buckets)
+    val hasDeltas = currentManifest.exists(_.deltaFiles.nonEmpty)
+    if (!hasDeltas || raw.columns.isEmpty) raw
+    else MergeUpsert.latestPerKey(raw, Seq("updated_seq", "commit"))
+  }
+
+  /** Live snapshot: merged rows minus delete tombstones. Tombstones are
     * retained physically (column `__deleted`) so a re-delivered pre-delete
     * event can never resurrect a deleted key — the CDC tombstone rule; the
     * event-time watermark only gates their GC (SURVEY.md §2.9 C5). */
   def snapshot(spark: SparkSession): DataFrame = {
     val df = read(spark)
     if (df.columns.contains("__deleted"))
-      df.filter(!org.apache.spark.sql.functions.col("__deleted")).drop("__deleted")
+      df.filter(!col("__deleted")).drop("__deleted")
     else df
   }
 
   def lastCommittedEpoch: Long = currentManifest.map(_.epochWatermark).getOrElse(-1L)
   def lastSeq: Long = currentManifest.map(_.lastSeq).getOrElse(-1L)
 
-  /** Directory for a new snapshot's data files. */
-  def newCommitDir(version: Long): Path = dataDir.resolve(f"c$version%08d")
+  /** Fresh uniquely-named directory for a new commit's data files. The
+    * nonce guarantees two concurrent writers targeting the same version
+    * slot can never overwrite each other's files — the CAS on the manifest
+    * decides the winner, and the loser's directory becomes a vacuum-able
+    * orphan. */
+  def newCommitDir(version: Long): Path = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    dataDir.resolve(f"c$version%08d-$nonce")
+  }
 
   /** List parquet files written under a commit dir, keyed by bucket=N.
-    * Row counts come from the parquet footers (metadata-only read, no data
-    * scan) so the manifest can answer per-bucket cardinality questions —
-    * the merge path uses this instead of re-counting the target. */
-  def listCommitFiles(dir: Path): Seq[ManifestFile] = {
+    * With `withRowCounts`, row counts come from the parquet footers
+    * (metadata-only read, no data scan) on a dedicated bounded pool;
+    * without it rows are -1 — the per-epoch delta path skips footer I/O
+    * entirely (driver-serial time caps scaling efficiency). */
+  def listCommitFiles(dir: Path, withRowCounts: Boolean = false): Seq[ManifestFile] = {
     if (!Files.exists(dir)) return Seq.empty
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val paths = Files.walk(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-    // footer reads in parallel — serially this is ~0.5s per commit of 64
-    // files, a driver-side fixed cost that eats into scaling efficiency
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val futures = paths.map { p => Future {
-      val bucket = p.getParent.getFileName.toString match {
-        case s if s.startsWith("bucket=") => s.substring(7).toInt
-        case _ => 0
-      }
-      ManifestFile(p.toString, bucket, footerRowCount(p, conf), Files.size(p))
-    }}
-    Await.result(Future.sequence(futures), Duration.Inf)
+    val paths = Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    def bucketOf(p: Path): Int = p.getParent.getFileName.toString match {
+      case s if s.startsWith("bucket=") => s.substring(7).toInt
+      case _ => 0
+    }
+    def tierOf(p: Path): String = "base" // caller re-tags deltas
+    if (!withRowCounts) {
+      paths.map(p => ManifestFile(p.toString, bucketOf(p), -1L,
+        Files.size(p), tierOf(p)))
+    } else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, paths.size)))
+      try {
+        val futures = paths.map { p =>
+          pool.submit(new java.util.concurrent.Callable[ManifestFile] {
+            def call(): ManifestFile = ManifestFile(p.toString, bucketOf(p),
+              footerRowCount(p, conf), Files.size(p), tierOf(p))
+          })
+        }
+        futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+    }
   }
 
   private def footerRowCount(p: Path,
@@ -187,12 +346,5 @@ class LakeTable(val root: String, val numBuckets: Int) {
         .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try reader.getRecordCount finally reader.close()
-    } catch { case _: Throwable => -1L }
-
-  /** Rows currently stored in the given buckets, from manifest metadata
-    * alone (no file scan). Returns None if any file lacks a footer count. */
-  def bucketRows(buckets: Set[Int]): Option[Long] = currentManifest.map { m =>
-    val fs = m.files.filter(f => buckets.contains(f.bucket))
-    if (fs.exists(_.rows < 0)) -1L else fs.map(_.rows).sum
-  }.filter(_ >= 0)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 }

@@ -1,40 +1,54 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Table-maintenance operations for [[LakeTable]] — the hygiene a
-  * copy-on-write lake needs at 10^10-event scale:
+/** Table-maintenance operations for [[LakeTable]] — the copy-on-write half
+  * of the merge-on-read design, plus garbage collection:
   *
-  *  - '''vacuum''' — delete data files no manifest version ≥ a retention
-  *    floor references. Covers both crash orphans (files written but never
-  *    committed, SURVEY.md §4.3 hard-part 1) and files superseded by later
-  *    copy-on-write commits. Old manifests below the floor are dropped too
-  *    (bounded time travel).
-  *  - '''compactTombstones''' — rewrite the table dropping delete
-  *    tombstones whose seq ≤ a caller-supplied watermark. Tombstones must
-  *    be RETAINED while a re-delivery of a pre-delete event is still
-  *    possible (they are what keeps deleted keys dead, §2.9 C5); once the
-  *    event-time watermark passes, they are dead weight — this is the
-  *    "watermark only gates state GC" rule made concrete.
+  *  - '''compact''' — fold the delta tier into a fresh single-file-per-
+  *    bucket base tier, optionally dropping delete tombstones whose seq is
+  *    at or below a caller-supplied watermark. Tombstones must be RETAINED
+  *    while a re-delivery of a pre-delete event is still possible (they are
+  *    what keeps deleted keys dead, SURVEY.md §2.9 C5); once the event-time
+  *    watermark passes they are dead weight — "the watermark only gates
+  *    state GC" made concrete. Compaction also materializes any pending
+  *    column renames (output files are fully canonical), so the rename
+  *    mapping resets.
+  *  - '''vacuum''' — delete data files that no retained manifest references
+  *    AND that are older than a grace window. The grace window (Delta-style
+  *    mtime retention) is what makes vacuum safe to run concurrently with
+  *    ingestion: an in-flight merge's freshly-written staging files are
+  *    never referenced by any manifest *yet*, and without the age check a
+  *    racing vacuum would delete them mid-commit (data loss). Old manifests
+  *    below the retention floor are dropped too (bounded time travel).
   *
-  * Both commit through the same CAS manifest protocol as merges, so they
-  * are safe to interleave with ingestion (a racing merge simply wins the
-  * version slot and the maintenance pass retries/aborts).
+  * Both commit through the same CAS manifest protocol as merges; every
+  * writer stages into its own uniquely-named commit dir
+  * ([[LakeTable.newCommitDir]]), so concurrent version-slot contenders can
+  * never clobber each other's files — the CAS loser's directory is simply
+  * orphaned and reclaimed by a later vacuum.
   */
 object Maintenance {
 
   final case class VacuumResult(filesDeleted: Int, bytesReclaimed: Long,
                                 manifestsDropped: Int)
 
-  /** Delete unreferenced data files and manifests older than
-    * `retainVersions` (default: current only). */
-  def vacuum(table: LakeTable, retainVersions: Int = 1): VacuumResult = {
+  /** Default vacuum grace: files younger than this are never deleted even
+    * if unreferenced — they may belong to an in-flight commit. */
+  val DefaultGraceMillis: Long = 10L * 60 * 1000
+
+  /** Delete unreferenced data files older than `graceMillis` and manifests
+    * older than `retainVersions` (default: current only). */
+  def vacuum(table: LakeTable, retainVersions: Int = 1,
+             graceMillis: Long = DefaultGraceMillis): VacuumResult = {
     val head = table.currentVersion
     if (head == 0) return VacuumResult(0, 0L, 0)
     val floor = math.max(1L, head - retainVersions + 1)
+    val cutoff = System.currentTimeMillis() - graceMillis
 
     val referenced: Set[String] = (floor to head).flatMap { v =>
       table.readManifest(v).files.map(f =>
@@ -44,18 +58,23 @@ object Maintenance {
     val dataDir = Paths.get(table.root, "data")
     var files = 0; var bytes = 0L
     if (Files.exists(dataDir)) {
-      val all = Files.walk(dataDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p)).toSeq
+      val all = Using.resource(Files.walk(dataDir)) { s =>
+        s.iterator().asScala.filter(p => Files.isRegularFile(p)).toSeq
+      }
       all.foreach { p =>
-        if (!referenced.contains(p.toAbsolutePath.toString)) {
+        val old = Files.getLastModifiedTime(p).toMillis <= cutoff
+        if (old && !referenced.contains(p.toAbsolutePath.toString)) {
           bytes += Files.size(p); files += 1
           Files.deleteIfExists(p)
         }
       }
-      // prune now-empty commit/bucket dirs
-      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+      // prune now-empty commit/bucket dirs (also age-gated: a freshly
+      // created staging dir may be about to receive files)
+      val dirs = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
+      dirs.reverse.foreach { p =>
         if (Files.isDirectory(p) && p != dataDir &&
-            !Files.list(p).iterator().hasNext)
+            Files.getLastModifiedTime(p).toMillis <= cutoff &&
+            Using.resource(Files.list(p))(!_.iterator().hasNext))
           Files.deleteIfExists(p)
       }
     }
@@ -69,30 +88,44 @@ object Maintenance {
     VacuumResult(files, bytes, dropped)
   }
 
-  /** Rewrite the table without tombstones whose `updated_seq <= watermark`
-    * and with one file per bucket (small-file compaction). No-op (None) if
-    * the table is empty or a concurrent committer wins the CAS. */
-  def compactTombstones(spark: SparkSession, table: LakeTable,
-                        watermark: Long): Option[Manifest] = {
+  /** Fold deltas into a new base tier: one file per non-empty bucket, no
+    * superseded row versions, tombstones with `updated_seq <= watermark`
+    * dropped, pending renames materialized. Returns None if the table is
+    * empty or a concurrent committer wins the CAS (safe: nothing was
+    * committed; the orphaned output is vacuum-able and the caller may
+    * simply retry later — compaction is advisory, never load-bearing). */
+  def compact(spark: SparkSession, table: LakeTable,
+              tombstoneWatermark: Long = -1L): Option[Manifest] = {
     val current = table.currentManifest.getOrElse(return None)
     if (current.files.isEmpty) return None
+    val nb = current.numBuckets
     val version = current.version + 1
 
-    val df = table.read(spark)
-      .filter(!(col("__deleted") && col("updated_seq") <= watermark))
-      .withColumn("__bucket", MergeUpsert.bucketOf(table.numBuckets))
+    // merged view (latest-wins collapse over base ∪ deltas, canonical cols)
+    val merged = table.read(spark)
+      .filter(!(col("__deleted") && col("updated_seq") <= lit(tombstoneWatermark)))
 
     val commitDir = table.newCommitDir(version)
-    df.repartition(table.numBuckets, col("repo"), col("path"))
-      .withColumnRenamed("__bucket", "bucket")
+    // explicit repartition on the key: one reducer per bucket, so each
+    // bucket compacts to exactly one file (bucketOf == partition id)
+    merged.repartition(nb, MergeUpsert.KeyCols.map(col): _*)
+      .withColumn("bucket", MergeUpsert.bucketOf(nb))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(commitDir.toString)
 
+    val newFiles = table.listCommitFiles(commitDir, withRowCounts = true)
     val manifest = current.copy(
       version = version,
-      files = table.listCommitFiles(commitDir),
+      files = newFiles, // all-base; deltas folded in
+      renames = Map.empty, // outputs are canonical — mapping materialized
       lineage = current.lineage +
-        (s"compact_v$version" -> s"tombstoneWatermark=$watermark"))
+        (s"compact_v$version" -> (s"tombstoneWatermark=$tombstoneWatermark " +
+          s"files=${newFiles.size} rows=${newFiles.map(_.rows).sum}")))
     if (table.tryCommit(manifest)) Some(manifest) else None
   }
+
+  /** Back-compat alias: tombstone GC is compaction with a watermark. */
+  def compactTombstones(spark: SparkSession, table: LakeTable,
+                        watermark: Long): Option[Manifest] =
+    compact(spark, table, watermark)
 }

@@ -1,57 +1,67 @@
 package graft.lake
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Copy-on-write MERGE of one change-event batch into a [[LakeTable]].
+/** MERGE of one change-event batch into a [[LakeTable]] as a DELTA commit
+  * (merge-on-read; [[Maintenance.compact]] is the copy-on-write half).
   *
   * Semantics (the engine's core contract, north_rule):
   *  - latest-wins per business key `(repo, path)` ordered by `(seq, commit)`
   *    — the reference's W1 ROW_NUMBER dedupe
   *    (/root/reference/Delphi/MSSQL_Vertica_Translations/
   *     Omop_Incremental_Condition_Ocurrence.sql:71-78) made total-ordered;
-  *  - `op = D` deletes the key; I/U upsert (MERGE fixes the reference's
-  *    acknowledged duplicate-INSERT gap, ArchitecturePlan.md:74);
+  *  - `op = D` writes a tombstone row; I/U upsert (MERGE fixes the
+  *    reference's acknowledged duplicate-INSERT gap, ArchitecturePlan.md:74);
   *  - idempotent: re-delivering any subset of already-applied events
-  *    cannot change the final state (same (seq,commit) ⇒ same winner);
-  *  - schema evolution: batch columns not in the target (and vice versa)
-  *    union by name, missing values NULL; the evolved schema is committed
-  *    in the manifest.
+  *    cannot change the final state (same (seq,commit) ⇒ same winner, and
+  *    a duplicate epoch ≤ the manifest watermark is skipped outright);
+  *  - schema evolution: added batch columns union into the target schema
+  *    (missing values NULL); renamed feed columns are normalized to the
+  *    canonical name via the manifest's rename map before merging.
   *
-  * Scale design:
-  *  - within-batch compaction is `groupBy(key).agg(max_by(...))` — a
-  *    hash aggregate with map-side partial combine, so a hot `(repo,path)`
-  *    key collapses to one row per map task *before* the shuffle: this IS
-  *    the salting strategy for the skewed upsert (SURVEY.md §4.3.3),
-  *    expressed so AQE needs no rescue;
-  *  - only buckets touched by the batch are read and rewritten
-  *    (manifest-driven partition pruning);
-  *  - metrics ride on `observe()` — no extra pass over the data.
+  * Scale design — ONE Spark job per epoch, O(batch) work:
+  *  - within-batch compaction is a partial+final hash aggregate
+  *    (ObjectHashAggregate over the custom [[graft.functions.LatestBy]]):
+  *    a hot `(repo,path)` key collapses to one row per map task *before*
+  *    the shuffle — this IS the salting strategy for the skewed upsert
+  *    (SURVEY.md §4.3.3), expressed so AQE needs no rescue;
+  *  - the target is NEVER read at ingest time: the compacted batch lands
+  *    as an immutable delta commit, so per-epoch write amplification is
+  *    O(|batch keys|), not O(|table|) — at 10^10 events copy-on-write at
+  *    bucket grain rewrote essentially the whole table every epoch;
+  *  - `content_sha` is computed AFTER compaction — only winning rows pay
+  *    the sha256;
+  *  - metrics ride on `observe()` over the write — no extra pass, no
+  *    separate stats job, no driver-side footer reads on the hot path;
+  *  - a lost manifest CAS is retried by re-basing on the new head (delta
+  *    files are content-independent of concurrent commits), so concurrent
+  *    committers and maintenance never lose events.
   */
 object MergeUpsert {
 
   val KeyCols: Seq[String] = Seq("repo", "path")
-  val OrderCols: Seq[String] = Seq("seq", "commit")
 
   /** Bucket function = Spark's own HashPartitioning id expression
-    * (`pmod(murmur3(repo,path), n)`). This is deliberate: after a
-    * `repartition(n, repo, path)`, every row already sits in the partition
-    * whose id equals its bucket — so the merge output can be written
-    * `partitionBy("bucket")` with NO further shuffle (each task holds
-    * exactly one bucket). */
+    * (`pmod(murmur3(repo,path), n)`). This is deliberate: the final
+    * aggregate's shuffle already places every row in the partition whose
+    * id equals its bucket (when shuffle.partitions == numBuckets), so the
+    * delta write's `partitionBy("bucket")` needs NO further shuffle.
+    * Identified in the manifest as [[LakeTable.BucketFn]]. */
   def bucketOf(numBuckets: Int): Column =
     pmod(hash(col("repo"), col("path")), lit(numBuckets)).cast("int")
 
-  /** Collapse a frame to the winning row per key by (seq, commit) desc.
-    * Map-side-combining HASH aggregate — skew-proof by construction.
-    * Uses the custom [[graft.functions.LatestBy]] ObjectHashAggregate:
-    * the builtin `max_by(struct, struct)` carries a struct buffer that
-    * HashAggregateExec can't hold, silently degrading to SortAggregate
-    * (per-partition n·log n sort of every merge batch — asserted against
-    * in PlanSpec). */
-  def latestPerKey(df: DataFrame): DataFrame = {
+  /** Collapse a frame to the winning row per key by `ordCols` desc.
+    * Partial+final ObjectHashAggregate — map-side combine collapses hot
+    * keys before the shuffle (skew-proof by construction). Uses the custom
+    * [[graft.functions.LatestBy]]: the builtin `max_by(struct, struct)`
+    * carries a struct buffer that HashAggregateExec can't hold, silently
+    * degrading to SortAggregate (per-partition n·log n sort of every merge
+    * batch — asserted against in PlanSpec). */
+  def latestPerKey(df: DataFrame,
+                   ordCols: Seq[String] = Seq("seq", "commit")): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
-    val ord = struct(col("seq"), col("commit"))
+    val ord = struct(ordCols.map(col): _*)
     df.groupBy(KeyCols.map(col): _*)
       .agg(graft.functions.LatestBy(payload, ord).as("__w"))
       .select(col("__w.*"))
@@ -60,13 +70,13 @@ object MergeUpsert {
   final case class MergeResult(
       committed: Boolean,
       version: Long,
-      eventsApplied: Long,
-      keysInBatch: Long,
-      conflicts: Long,     // keys that already existed in the target
+      eventsApplied: Long,  // raw events in the delivered batch
+      keysInBatch: Long,    // distinct keys after within-batch compaction
+      collapsed: Long,      // events superseded within the batch (incl. dup delivery)
       deletes: Long,
       rowsWritten: Long,
       bytesWritten: Long,
-      bucketsRewritten: Int)
+      bucketsTouched: Int)
 
   private val timing = sys.env.get("GRAFT_MERGE_TIMING").contains("1")
   private def timed[T](label: String, epoch: Long)(f: => T): T = {
@@ -78,139 +88,107 @@ object MergeUpsert {
     }
   }
 
-  /** Merge one epoch batch. Caller guarantees `batch` holds exactly the
-    * events of `epoch` (plus possible re-deliveries of older events, which
-    * latest-wins neutralizes). Returns None if the epoch is already
-    * committed (exactly-once skip). */
+  /** Merge one epoch batch as a delta commit. Caller guarantees `batch`
+    * holds exactly the events of `epoch` (plus possible re-deliveries of
+    * older events, which latest-wins neutralizes). Returns None if the
+    * epoch is already committed (exactly-once skip) — including when a
+    * concurrent committer wins the race for the same epoch. */
   def mergeEpoch(spark: SparkSession, table: LakeTable, batch: DataFrame,
                  epoch: Long): Option[MergeResult] = {
     val current = table.currentManifest
     val watermark = current.map(_.epochWatermark).getOrElse(-1L)
     if (epoch <= watermark) return None // duplicate epoch delivery → no-op
-
     val nb = table.numBuckets
-    val version = current.map(_.version).getOrElse(0L) + 1
 
-    // 1. enrich + within-batch compaction (one row per key ships onward)
-    val enriched = batch
-      .withColumn("content_sha", sha2(coalesce(col("content"), lit("")), 256))
-      .withColumn("__bucket", bucketOf(nb))
-    val compacted = latestPerKey(enriched)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    try {
-      // 2. batch stats in ONE job (touched buckets + keys + deletes):
-      // per-epoch driver round-trips are the serial fraction that caps
-      // scaling efficiency, so the merge path runs exactly two jobs —
-      // this stats aggregate and the write.
-      val stats = timed("stats", epoch) { compacted.groupBy("__bucket")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("op") === "D", 1L).otherwise(0L)).as("d"))
-        .collect() }
-      val affected = stats.map(_.getInt(0)).toSet
-      val keysInBatch = stats.map(_.getLong(1)).sum
-      val deletes = stats.map(_.getLong(2)).sum
-      if (affected.isEmpty) {
-        // delete-only epochs of nothing / empty batch: still advance watermark
-        val m = current.map(m0 => m0.copy(version = version,
-          epochWatermark = epoch,
-          lineage = m0.lineage + (s"epoch_$epoch" -> "empty"))).getOrElse(
-          Manifest(version, epoch, -1L,
-            new org.apache.spark.sql.types.StructType().json, nb, Seq.empty,
-            Map(s"epoch_$epoch" -> "empty")))
-        table.tryCommit(m)
-        return Some(MergeResult(committed = true, version, 0, 0, 0, 0, 0, 0, 0))
-      }
-
-      // 3. current state of touched buckets as pseudo-events. Tombstones
-      // (op=D) are materialized rows with __deleted=true: physically
-      // keeping them is what makes re-delivery of a pre-delete event
-      // harmless — latest-wins sees the tombstone's higher seq and the
-      // deleted key stays dead.
-      val target = table.read(spark, Some(affected))
-      val targetAsEvents =
-        if (target.columns.isEmpty || current.isEmpty) None
-        else Some(target
-          .withColumn("seq", col("updated_seq"))
-          .withColumn("op", when(col("__deleted"), lit("D")).otherwise(lit("U")))
-          .drop("updated_seq", "__deleted"))
-
-      val batchAsState = compacted.withColumn("updated_seq", col("seq"))
-      val unioned = targetAsEvents match {
-        case Some(t) => t.withColumn("updated_seq", col("seq"))
-          .unionByName(batchAsState, allowMissingColumns = true)
-        case None => batchAsState
-      }
-
-      // 4. merge-apply: latest wins across target ∪ batch; deletes become
-      // tombstone rows rather than vanishing. The explicit
-      // repartition(nb, repo, path) IS the agg's required distribution, so
-      // the aggregate runs in-place and — because bucketOf is the same
-      // murmur3%nb — the output is already physically bucket-aligned for
-      // the write (no second shuffle). Map-side partial agg would buy
-      // nothing here: the union holds ≤2 rows per key (compacted batch ∪
-      // current target), so complete-agg-after-shuffle is optimal.
-      val mergedAll = latestPerKey(
-        unioned.repartition(nb, col("repo"), col("path")))
-      val merged = mergedAll
-        .withColumn("__deleted", col("op") === "D")
-        .drop("op", "seq", "epoch", "schemaVersion")
-        .withColumn("__bucket", bucketOf(nb)) // recompute (evolution-safe)
-
-      // 5. single write pass with observed metrics (Observation API: the
-      // listener fires for whichever action executes the plan — here the
-      // parquet write — so no extra pass over the data)
-      val obs = org.apache.spark.sql.Observation()
-      val observed = merged.observe(obs,
-        count(lit(1)).as("rows"),
-        max(col("updated_seq")).as("maxSeq"))
-      val commitDir = table.newCommitDir(version)
-      timed("write", epoch) { observed
-        .withColumnRenamed("__bucket", "bucket")
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(commitDir.toString) }
-
-      val metricsRow = obs.get
-      val rowsWritten = metricsRow("rows").asInstanceOf[Long]
-      val maxSeq = Option(metricsRow("maxSeq")).map(_.asInstanceOf[Long])
-        .getOrElse(-1L)
-
-      // existing cardinality from manifest footer counts — no target rescan
-      val targetKeys = targetAsEvents.map(_ =>
-        table.bucketRows(affected).getOrElse(target.count())).getOrElse(0L)
-      // tombstones persist, so |merged| = |existing ∪ batch| exactly:
-      // |existing ∩ batch| = |existing| + |batch keys| - |merged|
-      val conflicts = math.max(0L, targetKeys + keysInBatch - rowsWritten)
-
-      val newFiles = timed("footers", epoch) { table.listCommitFiles(commitDir) }
-      val keptFiles = current.map(_.files.filterNot(f => affected.contains(f.bucket)))
-        .getOrElse(Seq.empty)
-      val bytesWritten = newFiles.map(_.bytes).sum
-
-      val schemaJson = {
-        val s = org.apache.spark.sql.types.StructType(
-          merged.drop("__bucket").schema.fields)
-        s.json
-      }
-      val lineage = current.map(_.lineage).getOrElse(Map.empty) +
-        (s"epoch_$epoch" -> (s"events=$keysInBatch conflicts=$conflicts " +
-          s"deletes=$deletes rows=$rowsWritten bytes=$bytesWritten " +
-          s"buckets=${affected.size}"))
-
-      val manifest = Manifest(
-        version = version,
-        epochWatermark = epoch,
-        lastSeq = math.max(current.map(_.lastSeq).getOrElse(-1L), maxSeq),
-        schemaJson = schemaJson,
-        numBuckets = nb,
-        files = keptFiles ++ newFiles,
-        lineage = lineage)
-
-      val ok = table.tryCommit(manifest)
-      Some(MergeResult(ok, version, keysInBatch, keysInBatch, conflicts,
-        deletes, rowsWritten, bytesWritten, affected.size))
-    } finally {
-      compacted.unpersist()
+    // 1. normalize renamed feed columns to canonical names (manifest map)
+    val aliases = current.map(_.feedAliases).getOrElse(Map.empty)
+    val mapped = aliases.foldLeft(batch) { case (df, (former, canon)) =>
+      if (df.columns.contains(former) && !df.columns.contains(canon))
+        df.withColumnRenamed(former, canon)
+      else df
     }
+
+    // 2. within-batch compaction (partial+final agg, one winner per key),
+    //    then the storage projection; sha only on winners
+    val obsIn = Observation()
+    val compacted = latestPerKey(
+      mapped.observe(obsIn, count(lit(1)).as("events")))
+    val delta = compacted
+      .withColumn("content_sha", sha2(coalesce(col("content"), lit("")), 256))
+      .withColumn("updated_seq", col("seq"))
+      .withColumn("__deleted", col("op") === "D")
+      .drop("op", "seq", "epoch", "schemaVersion")
+
+    // 3. single write pass with observed metrics (the Observation listener
+    //    fires for whichever action executes the plan — here the write)
+    val obs = Observation()
+    val observed = delta.observe(obs,
+      count(lit(1)).as("rows"),
+      max(col("updated_seq")).as("maxSeq"),
+      sum(when(col("__deleted"), 1L).otherwise(0L)).as("deletes"),
+      // DISTINCT aggregates are disallowed in observations; nb is small
+      size(collect_set(bucketOf(nb))).as("buckets"))
+    val commitDir = table.newCommitDir(current.map(_.version).getOrElse(0L) + 1)
+    timed("write", epoch) { observed
+      .withColumn("bucket", bucketOf(nb))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(commitDir.toString) }
+
+    val events = obsIn.get("events").asInstanceOf[Long]
+    val metricsRow = obs.get
+    val rowsWritten = metricsRow("rows").asInstanceOf[Long]
+    val maxSeq = Option(metricsRow("maxSeq")).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val deletes = Option(metricsRow("deletes")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val bucketsTouched = metricsRow("buckets").asInstanceOf[Int]
+
+    // no footer reads on the hot path: bytes from the dir listing, rows
+    // from the observation (per-file counts are recomputed at compaction)
+    val newFiles = timed("list", epoch) {
+      table.listCommitFiles(commitDir).map(_.copy(tier = "delta")) }
+    val bytesWritten = newFiles.map(_.bytes).sum
+
+    val deltaSchema = org.apache.spark.sql.types.StructType(
+      delta.schema.fields)
+
+    def evolvedSchemaJson(m: Option[Manifest]): String = m match {
+      case None => deltaSchema.json
+      case Some(mm) =>
+        val existing = mm.schema
+        val added = deltaSchema.fields.filterNot(f =>
+          existing.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(existing.fields ++ added).json
+    }
+    def lineageEntry = s"epoch_$epoch" -> (s"events=$events keys=$rowsWritten " +
+      s"collapsed=${math.max(0L, events - rowsWritten)} deletes=$deletes " +
+      s"rows=$rowsWritten bytes=$bytesWritten buckets=$bucketsTouched")
+    def buildManifest(m: Option[Manifest]): Manifest = Manifest(
+      version = m.map(_.version).getOrElse(0L) + 1,
+      epochWatermark = epoch,
+      lastSeq = math.max(m.map(_.lastSeq).getOrElse(-1L), maxSeq),
+      schemaJson = evolvedSchemaJson(m),
+      numBuckets = nb,
+      bucketFn = LakeTable.BucketFn,
+      renames = m.map(_.renames).getOrElse(Map.empty),
+      files = m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+      lineage = m.map(_.lineage).getOrElse(Map.empty) + lineageEntry)
+
+    // 4. CAS commit with re-base on loss: delta files are immutable and
+    //    independent of concurrent commits, so losing the version slot
+    //    just means re-pointing the manifest at the new head.
+    var head = current
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      if (table.tryCommit(buildManifest(head)))
+        return Some(MergeResult(committed = true,
+          head.map(_.version).getOrElse(0L) + 1, events, rowsWritten,
+          math.max(0L, events - rowsWritten), deletes, rowsWritten,
+          bytesWritten, bucketsTouched))
+      head = table.currentManifest
+      if (head.exists(_.epochWatermark >= epoch))
+        return None // concurrent committer applied this epoch; files orphan
+    }
+    throw new IllegalStateException(
+      s"mergeEpoch($epoch): manifest CAS contention after $attempts attempts")
   }
 }

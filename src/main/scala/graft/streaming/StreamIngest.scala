@@ -51,8 +51,17 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // epoch := batchId — Structured Streaming's replay contract makes
-        // this the idempotency key; the event's own epoch column is payload
-        MergeUpsert.mergeEpoch(batch.sparkSession, table, batch, batchId)
+        // this the idempotency key; the event's own epoch column is payload.
+        // An uncommitted merge MUST fail the batch: if the streaming
+        // checkpoint advanced past an unmerged epoch, those events would be
+        // silently lost forever (mergeEpoch retries lost CAS races
+        // internally, so a non-committed result here is a real fault).
+        val r = MergeUpsert.mergeEpoch(batch.sparkSession, table, batch, batchId)
+        r.foreach(res =>
+          if (!res.committed)
+            throw new IllegalStateException(
+              s"batch $batchId merged but failed to commit — failing the " +
+                "batch so Structured Streaming re-executes it"))
         ()
       }
       .start()

@@ -31,7 +31,7 @@ class MaintenanceSpec extends SparkSpec {
     Files.createDirectories(orphan.resolve("bucket=0"))
     Files.writeString(orphan.resolve("bucket=0/part-orphan.parquet"), "junk")
 
-    val res = Maintenance.vacuum(table)
+    val res = Maintenance.vacuum(table, graceMillis = 0)
     assert(res.filesDeleted > 0)
     assert(res.manifestsDropped > 0)
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) == before)
@@ -44,7 +44,7 @@ class MaintenanceSpec extends SparkSpec {
   test("vacuum with retention keeps older versions readable") {
     val table = replayed()
     val head = table.currentVersion
-    Maintenance.vacuum(table, retainVersions = 2)
+    Maintenance.vacuum(table, retainVersions = 2, graceMillis = 0)
     // head and head-1 manifests must survive; head-2 must not
     assert(Files.exists(Paths.get(table.root, "_log", f"v$head%08d.json")))
     assert(Files.exists(Paths.get(table.root, "_log", f"v${head - 1}%08d.json")))
@@ -86,9 +86,47 @@ class MaintenanceSpec extends SparkSpec {
     val events = ChangeGen.stream(spark, cfg).toDF()
     Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(2))
     Maintenance.compactTombstones(spark, table, watermark = Long.MaxValue)
-    Maintenance.vacuum(table)
+    Maintenance.vacuum(table, graceMillis = 0)
     Replayer.run(spark, events, table, maxEpoch = 5)
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) ==
       FoldOracle.digestOfState(FoldOracle.expectedState(cfg)))
+  }
+
+  test("vacuum grace window protects freshly-written unreferenced files") {
+    val table = replayed()
+    // an in-flight commit's staging files: written, not yet referenced by
+    // any manifest — default-grace vacuum must NOT touch them (ADVICE:
+    // deleting them mid-commit would be data loss under concurrency)
+    val staging = table.newCommitDir(table.currentVersion + 1)
+    Files.createDirectories(staging.resolve("bucket=0"))
+    val f = staging.resolve("bucket=0/part-inflight.parquet")
+    Files.writeString(f, "in-flight bytes")
+    val res = Maintenance.vacuum(table) // default graceMillis
+    assert(res.filesDeleted == 0, "fresh unreferenced file must survive grace")
+    assert(Files.exists(f))
+    // once old (grace = 0), the same file is reclaimed (along with the
+    // writes' unreferenced _SUCCESS markers)
+    val res2 = Maintenance.vacuum(table, graceMillis = 0)
+    assert(res2.filesDeleted >= 1)
+    assert(!Files.exists(f))
+  }
+
+  test("compaction folds the delta tier into single-file-per-bucket base") {
+    val table = replayed()
+    val before = FoldOracle.digestOfTable(table.snapshot(spark))
+    assert(table.currentManifest.get.deltaFiles.nonEmpty)
+    val m = Maintenance.compact(spark, table)
+    assert(m.isDefined)
+    assert(m.get.deltaFiles.isEmpty)
+    assert(m.get.files.forall(_.tier == "base"))
+    assert(m.get.files.forall(_.rows >= 0), "base files carry footer row counts")
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == before)
+    // merging continues correctly on top of the compacted base
+    val more = GenConfig(seed = 77L, numEvents = 500, numRepos = 12,
+      pathsPerRepo = 30, epochSize = 500L)
+    graft.lake.MergeUpsert.mergeEpoch(spark, table,
+      ChangeGen.stream(spark, more).toDF().withColumn("epoch", lit(6L)), 6L)
+    assert(table.currentManifest.get.deltaFiles.nonEmpty)
+    assert(table.snapshot(spark).count() > 0)
   }
 }

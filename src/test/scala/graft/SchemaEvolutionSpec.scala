@@ -46,17 +46,57 @@ class SchemaEvolutionSpec extends SparkSpec {
       "c.scala" -> ("c4", Some("dev"))))
   }
 
-  test("renamed column in the feed is mapped via rename normalization") {
-    // the ingest-side normalization the engine applies for renames:
-    // feed column `language` → canonical `lang` before merge
-    val renamed = Seq((5L, 0L, "I", "r2", "x.go", "c5", "go-lang", "bx", 3))
+  test("engine-side column rename: old files map in, old feed names normalize") {
+    val table = new LakeTable(tmpDir("evo-rn"), 4)
+    Replayer.run(spark, v1Events, table, maxEpoch = 1) // files physically `lang`
+    val valuesBefore = table.snapshot(spark)
+      .select("path", "lang").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // engine-side rename: manifest-level mapping, NO data files rewritten
+    val filesBefore = table.currentManifest.get.files.map(_.path).toSet
+    table.renameColumn("lang", "language")
+    assert(table.currentManifest.get.files.map(_.path).toSet == filesBefore,
+      "rename must not rewrite data files")
+    assert(table.currentManifest.get.schema.fieldNames.contains("language"))
+    assert(!table.currentManifest.get.schema.fieldNames.contains("lang"))
+
+    // pre-rename rows read through the mapping with their original values
+    val valuesAfter = table.snapshot(spark)
+      .select("path", "language").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(valuesAfter == valuesBefore)
+
+    // a change feed STILL using the former name merges into the canonical
+    // column (feed-alias normalization inside mergeEpoch)
+    val oldNameFeed = Seq((5L, 2L, "I", "r1", "x.go", "c5", "go-lang", "bx", 3))
+      .toDF("seq", "epoch", "op", "repo", "path", "commit", "lang",
+        "content", "schemaVersion")
+    MergeUpsert.mergeEpoch(spark, table, oldNameFeed, 2L)
+    // ... and a feed using the new name merges too
+    val newNameFeed = Seq((6L, 3L, "U", "r1", "a.scala", "c6", "scala3", "b6", 3))
       .toDF("seq", "epoch", "op", "repo", "path", "commit", "language",
         "content", "schemaVersion")
-    val normalized = renamed.withColumnRenamed("language", "lang")
-    val table = new LakeTable(tmpDir("evo-rn"), 4)
-    Replayer.run(spark, normalized, table, maxEpoch = 0)
-    val r = table.snapshot(spark).select("lang").collect().map(_.getString(0))
-    assert(r.sameElements(Array("go-lang")))
+    MergeUpsert.mergeEpoch(spark, table, newNameFeed, 3L)
+
+    val state = table.snapshot(spark).select("path", "commit", "language")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(state("x.go") == ("c5", "go-lang"),
+      "old-name feed column must land in the renamed column")
+    assert(state("a.scala") == ("c6", "scala3"))
+    assert(state("b.scala") == ("c1", "scala"), "pre-rename value survives")
+
+    // compaction materializes the mapping: files become canonical and the
+    // rename map resets, digest-equal across the compaction point
+    val before = table.snapshot(spark).orderBy("path")
+      .select("repo", "path", "commit", "language", "content")
+      .collect().map(_.toString).toSeq
+    graft.lake.Maintenance.compact(spark, table)
+    assert(table.currentManifest.get.renames.isEmpty)
+    val after = table.snapshot(spark).orderBy("path")
+      .select("repo", "path", "commit", "language", "content")
+      .collect().map(_.toString).toSeq
+    assert(after == before)
   }
 
   test("replay across the evolution point is batching-invariant") {
