@@ -26,12 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // single-JVM local[32] driver+executor: size like a real executor fleet
-  // (the box has 128 GiB; 32 concurrent parquet writer tasks + cached
-  // batches thrash an 8g heap into GC and invert the core-count scaling)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // pin the initial heap: growing 2g→tens-of-g under allocation pressure
-  // causes full-GC storms that made identical merge epochs decay
-  // 105s→6s as the heap warmed (and poisoned scaling measurements)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // single-JVM local[N] driver+executor. 24g fits every surface here
+  // (query suite at sf0.1, WAL generation, tests); bigger is WORSE: a 48g
+  // -Xms-pinned heap measurably degraded the replay benchmarks (G1
+  // spreads allocation over the whole heap — page-touch storms escalated
+  // identical merge epochs 19s→60s within one run) and an idle 48g main
+  // JVM starved the measurement children. Bench's measurement JVMs pin
+  // their own 16g heaps (see Bench.replayOnce).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-Xms2g",
 )

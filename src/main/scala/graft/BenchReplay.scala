@@ -31,8 +31,27 @@ object BenchReplay {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       // pinned level-independent, as on a real cluster where the setting
-      // doesn't change with executor count — only core count varies
+      // doesn't change with executor count — only core count varies.
+      // 64 == numBuckets: the merge aggregate's shuffle then places every
+      // row in the partition whose id equals its bucket, so the delta
+      // write's partitionBy is shuffle-free and one-file-per-bucket
       .config("spark.sql.shuffle.partitions", 64)
+      // AQE partition coalescing would re-map reducer ranges and break the
+      // bucket==partition-id alignment (correct but multi-dir tasks)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // LatestBy runs under ObjectHashAggregate; the default sort-based
+      // fallback threshold (128 in-memory groups) silently turns both the
+      // partial and final aggregates into per-partition sorts — raise it so
+      // the merge stays hash-based (buffers are one row per key, bounded
+      // by executor memory like any hash agg)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
+      // scan-side task granularity: at 128m a 1GB epoch scans as ~10
+      // tasks — 2 ragged waves on 8 cores (45% idle in the tail wave) and
+      // the single biggest scaling-efficiency loss measured; 32m gives
+      // ≥4 waves of full-width scheduling at every level (the same
+      // split-size tuning a real cluster does per executor count)
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.local.dir", scratch)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -44,18 +63,48 @@ object BenchReplay {
       })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_STAGE_TIMING").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = (i.completionTime.getOrElse(0L) -
+              i.submissionTime.getOrElse(0L)) / 1e3
+            val run = i.taskMetrics.executorRunTime / 1e3
+            val cpu = i.taskMetrics.executorCpuTime / 1e9
+            val gc = i.taskMetrics.jvmGCTime / 1e3
+            System.err.println(f"[stage ${i.stageId}%3d] ${i.name.take(30)}%-30s " +
+              f"tasks=${i.numTasks}%3d wall=$wall%6.2fs run=$run%7.2fs " +
+              f"cpu=$cpu%7.2fs gc=$gc%6.2fs")
+          }
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            System.err.println(s"[job ${js.jobId} start t=${js.time}]")
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            System.err.println(s"[job ${je.jobId} end   t=${je.time}]")
+        })
     try {
       // JIT/codegen warm-up on a small WAL, then the timed replay
       val base = java.nio.file.Paths.get(scratch)
       val warmTable = new LakeTable(Files.createTempDirectory(base, "graft-warm-").toString, 64)
-      Replayer.run(spark, spark.read.parquet(warmWal), warmTable, maxEpoch = 1)
+      Replayer.run(spark, spark.read.parquet(warmWal), warmTable, maxEpoch = 1,
+        compactEvery = 2)
 
+      // the timed window covers the FULL ingest contract: every epoch's
+      // delta merge PLUS the final compaction folding deltas into the base
+      // tier — the reported events/sec is end-state-queryable throughput,
+      // not just log-append speed
       val events = spark.read.parquet(walDir)
       val table = new LakeTable(Files.createTempDirectory(base, "graft-replay-").toString, 64)
       val t0 = System.nanoTime()
-      val report = Replayer.run(spark, events, table, maxEpoch = epochs - 1)
+      val report = Replayer.run(spark, events, table, maxEpoch = epochs - 1,
+        compactEvery = epochs.toInt)
       val dt = (System.nanoTime() - t0) / 1e9
       require(report.epochs.forall(_.result.isDefined))
+      require(report.compactions >= 1)
+      require(table.currentManifest.exists(_.deltaFiles.isEmpty))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table.root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmTable.root))
       println(f"REPLAY_SECONDS=$dt%.3f")

@@ -503,6 +503,70 @@ object SparkEntry {
           date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")).as("line"))
     }),
 
+    "s4_csv_source" -> ((s, dir) => {
+      // S4: delimited-file ingest — pipe-delimited seed CSV with header,
+      // quoted embedded delimiters, ''→NULL (the reference's EDW care-site
+      // seed, /root/reference/Delphi/OMOP_CARESITE_FROM_EDW.csv +
+      // step_02_care_site.py:38-53). The UTF-16 encoding knob is exercised
+      // in CsvSourceSpec (DuckDB 1.0 read_csv cannot decode UTF-16).
+      s.read.option("sep", "|").option("header", "true")
+        .option("quote", "\"").option("encoding", "UTF-8")
+        .csv("/root/repo/fixtures/care_site_seed.csv")
+        .select(col("care_site_id").cast("int").as("care_site_id"),
+          col("care_site_name"), col("place_of_service"),
+          col("location_id").cast("int").as("location_id"),
+          col("source_value"))
+    }),
+
+    "doc_parse_explode" -> ((s, dir) => {
+      // S5/X4: document parser UDTF — one block document → header +
+      // observation rows via a typed flatMap state machine, with the
+      // reference's last-wins dedupe (parseFmiXmls2PreOMOP.pl:602-644).
+      // The oracle reconstructs the expected rows RELATIONALLY from the
+      // base columns — an independent path from the build→parse roundtrip.
+      val blocks = operators.DocParse.composeBlocks(
+        t(s, dir, "documents"), "doc_id", "lang", "source", "text", maxObs = 8)
+      operators.DocParse.parse(blocks, "block").toDF()
+    }),
+
+    "x2_rtf2txt" -> ((s, dir) => {
+      // X2: RTF → plain text (the reference's dbo.RTF2TXT UDF,
+      // /root/reference/MQ/mosaiq_note.sql:76) as a codegen'd regexp chain
+      val rtf = concat(lit("{\\rtf1\\ansi\\deff0 {\\fonttbl {\\f0 Times;}}\\f0\\fs24 "),
+        substring(col("text"), 1, 40), lit("\\par}"))
+      t(s, dir, "documents").select(col("doc_id"), rtf.as("rtf"),
+        Cleansing.rtfToText(rtf).as("plain"))
+    }),
+
+    "f8_latest_timestamp" -> ((s, dir) => {
+      // F8: greatest-of-two-timestamps modified-date pick, null-safe
+      // (/root/reference/MQ/mosaiq_person.sql:151-155's CASE over joined
+      // Edit_DtTm values)
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(max(col("ts")).as("last_click"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_uid")).agg(max(col("ts")).as("last_view"))
+      clicks.join(views, col("user_id") === col("v_uid"), "full")
+        .select(coalesce(col("user_id"), col("v_uid")).as("uid"),
+          col("last_click"), col("last_view"),
+          Cleansing.latestOf(col("last_click"), col("last_view"))
+            .as("last_activity"))
+    }),
+
+    "j8_merge_coalesce" -> ((s, dir) => {
+      // J8: UPDATE-target-from-derived with COALESCE(new, old) — the
+      // merge-enrichment shape (Omop_Incremental_Measurement.sql:157-166)
+      val newVals = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("new_spend_cents"))
+      t(s, dir, "customer")
+        .join(newVals, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("new_spend_cents"), cents(col("c_acctbal")))
+            .as("spend_cents"),
+          col("new_spend_cents").isNotNull.as("updated"))
+    }),
+
     // ---- training-data ops batch 2 ----------------------------------------
     "ann_brute_force" -> ((s, dir) => {
       // brute-force cosine top-k: query set broadcast, corpus streamed once
@@ -520,22 +584,32 @@ object SparkEntry {
     }),
 
     "ann_lsh_bucketed" -> ((s, dir) => {
-      // LSH (signed-random-projection) ANN — the 100-TB scale path
+      // LSH (signed-random-projection) ANN — the 100-TB scale path;
+      // recall vs ann_brute_force measured in SimilaritySpec
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 10)
+          "vec_id", "embedding", k = 10, dims = 64, nPlanes = 32, bands = 8)
+        .withColumn("cos", round(col("cos"), 6))
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // MinHash+LSH near-duplicate candidate pairs
-      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
+      // MinHash+LSH near-duplicate candidate pairs. bands=8 (r=2): for
+      // J≥0.8 pairs, P(≥1 band collision) = 1-(1-J²)⁸ ≥ 0.9997 — recall
+      // measured against brute-force ground truth in DedupSpec
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 8)
+        .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // SimHash banded near-dup candidates w/ exact Hamming distance
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text")
-        .filter(col("hamming") <= 6)
+      // SimHash banded near-dup candidates w/ exact Hamming distance.
+      // 64-bit hash + hamming ≤ 8 (the web-dedup convention): a 32-bit
+      // hash at ≤6 admitted ~8% of ALL pairs as "near-dups" on this
+      // corpus — precision/recall vs ground truth measured in DedupSpec
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          nBits = 64, chunks = 8)
+        .filter(col("hamming") <= 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -548,10 +622,17 @@ object SparkEntry {
     }),
 
     "text_fingerprint" -> ((s, dir) => {
-      // 64-bit normalized-content fingerprint (xxhash64) + md5 twin
+      // 64-bit normalized-content fingerprint (xxhash64; seeds pinned by
+      // golden values in TextAnalysisSpec — not DuckDB-expressible)
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp64"),
+        TextAnalysis.fingerprint(col("text")).as("fp64"))
+    }),
+
+    "text_fingerprint_md5" -> ((s, dir) => {
+      // md5 twin of the normalized-content fingerprint — DuckDB-oracled
+      t(s, dir, "documents").select(
+        col("doc_id"),
         md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))
           .cast("binary")).as("fp_md5"))
     }),
@@ -572,12 +653,27 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      // stubbed decode → feature extraction via mapPartitions (batch shape)
+      // stubbed decode → feature extraction via mapPartitions (batch
+      // shape). The features themselves ARE part of the output (rounded,
+      // as a canonical string) so the rows/hash check pins the decoder;
+      // exact values additionally golden-tested in MultimodalSpec.
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media, dims = 8).toDF()
-        .select("media_id", "kind", "byte_len", "payload_sha")
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("payload_sha"),
+          concat_ws(",", transform(col("features"),
+            f => format_number(f.cast("double"), 3))).as("features_sig"))
     })
   )
+
+  /** DuckDB mirror of TextAnalysis.stopwordHits(padded, word): the Spark
+    * side pads once in langIdHeuristic and once in stopwordHits, hence the
+    * double pad here. Markers are alphanumeric/CJK — no regex escaping
+    * needed in either dialect. */
+  private def duckHits(word: String): String =
+    s"(len(string_split_regex('  ' || lower(text) || '  ', '\\s$word\\s')) - 1)"
+  private def duckLangScore(markers: Seq[String]): String =
+    markers.map(duckHits).mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "s1_lookback_scan" ->
@@ -942,10 +1038,113 @@ object SparkEntry {
               ORDER BY cos DESC, cand_id ASC) AS rn FROM s) x
          WHERE rn <= 10""",
 
+    "s4_csv_source" ->
+      """SELECT CAST(care_site_id AS INT) AS care_site_id, care_site_name,
+                place_of_service, CAST(location_id AS INT) AS location_id,
+                source_value
+         FROM read_csv('/root/repo/fixtures/care_site_seed.csv', delim='|',
+                       header=true, all_varchar=true, nullstr='')""",
+
+    "doc_parse_explode" ->
+      """WITH w AS (
+           SELECT doc_id, CAST(i AS INT) AS idx, l[i] AS value FROM (
+             SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+             FROM documents) d,
+           UNNEST(generate_series(1, least(8, len(l)))) AS t(i))
+         SELECT doc_id, 'header' AS record_type, 0 AS idx,
+                lang || '|' || source AS value
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 'observation' AS record_type,
+                CAST(max(idx) AS INT) AS idx, value
+         FROM w GROUP BY doc_id, value""",
+
+    "x2_rtf2txt" ->
+      """WITH c AS (
+           SELECT doc_id,
+             '{\rtf1\ansi\deff0 {\fonttbl {\f0 Times;}}\f0\fs24 ' ||
+               substr(text,1,40) || '\par}' AS rtf
+           FROM documents)
+         SELECT doc_id, rtf,
+                trim(regexp_replace(regexp_replace(regexp_replace(rtf,
+                  '\\[a-zA-Z]+-?[0-9]* ?', ' ', 'g'),
+                  '[{}]', '', 'g'), '\s+', ' ', 'g')) AS plain
+         FROM c""",
+
+    "f8_latest_timestamp" ->
+      """WITH c AS (SELECT user_id, max(ts) AS last_click FROM events
+                    WHERE event_type='click' GROUP BY user_id),
+              v AS (SELECT user_id, max(ts) AS last_view FROM events
+                    WHERE event_type='view' GROUP BY user_id)
+         SELECT coalesce(c.user_id, v.user_id) AS uid, last_click, last_view,
+                CASE WHEN last_click IS NULL THEN last_view
+                     WHEN last_view IS NULL THEN last_click
+                     WHEN last_click >= last_view THEN last_click
+                     ELSE last_view END AS last_activity
+         FROM c FULL JOIN v ON c.user_id = v.user_id""",
+
+    "j8_merge_coalesce" ->
+      """SELECT c_custkey,
+                coalesce(n.new_spend_cents,
+                         CAST(round(c_acctbal*100,0) AS BIGINT)) AS spend_cents,
+                n.new_spend_cents IS NOT NULL AS updated
+         FROM customer LEFT JOIN
+           (SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+                     AS new_spend_cents
+            FROM orders GROUP BY o_custkey) n
+           ON c_custkey = n.o_custkey""",
+
+    "text_fingerprint_md5" ->
+      """SELECT doc_id,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+         FROM documents""",
+
+    "lang_id_heuristic" ->
+      s"""WITH s AS (
+           SELECT doc_id, lang,
+             unnest([
+               {'l': 'en', 'sc': ${duckLangScore(Seq("the", "and", "of"))}},
+               {'l': 'es', 'sc': ${duckLangScore(Seq("el", "la", "que"))}},
+               {'l': 'de', 'sc': ${duckLangScore(Seq("der", "und", "die"))}},
+               {'l': 'fr', 'sc': ${duckLangScore(Seq("le", "la", "et"))}},
+               {'l': 'zh', 'sc': ${duckLangScore(Seq("的", "是", "在"))}}
+             ]) AS c
+           FROM documents)
+         SELECT doc_id, lang, l AS lang_pred FROM (
+           SELECT doc_id, lang, c.l AS l,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY c.sc DESC, c.l DESC) AS rn FROM s) x
+         WHERE rn = 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+                    i -> array_to_string(l[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+         freq AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
+         pruned AS (SELECT ex.* FROM ex JOIN freq USING (g)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                  count(*) AS inter
+           FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1,2,3,4)
+         SELECT id_a, id_b,
+                round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+         FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8""",
+
     // no oracles (driver records rows-only checks) for: ann_lsh_bucketed,
-    // dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
-    // text_fingerprint (xxhash64), lang_id_heuristic, multimodal_features —
-    // their hash seeds / stub decoders are not expressible in DuckDB SQL.
+    // dedup_minhash_lsh, dedup_simhash, text_fingerprint (xxhash64),
+    // multimodal_features — their hash seeds / stub decoders are not
+    // expressible in DuckDB SQL. Each is instead verified by an in-repo
+    // golden test against brute-force ground truth: DedupSpec
+    // (recall/precision/exactness), SimilaritySpec (recall@10),
+    // TextAnalysisSpec (pinned fingerprints), MultimodalSpec (pinned
+    // features).
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

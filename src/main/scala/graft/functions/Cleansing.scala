@@ -59,4 +59,14 @@ object Cleansing {
 
   /** F8: latest of two timestamps, null-safe (CASE picking max(Edit_DtTm)). */
   def latestOf(a: Column, b: Column): Column = greatest(a, b)
+
+  /** X2: RTF → plain text (/root/reference/MQ/mosaiq_note.sql:76's
+    * dbo.RTF2TXT). Regex strip of control words + group braces +
+    * whitespace collapse — the 95% case of clinical-note RTF; kept as a
+    * pure Column chain so it codegens and pushes like any other scalar. */
+  def rtfToText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(c,
+      "\\\\[a-zA-Z]+-?[0-9]* ?", " "), // control words (\par, \fs24 ...)
+      "[{}]", ""),                      // group braces
+      "\\s+", " "))                     // collapse runs
 }

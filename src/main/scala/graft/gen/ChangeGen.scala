@@ -31,7 +31,8 @@ final case class GenConfig(
     pctDelete: Int = 15,
     duplicateRate: Int = 0,   // per-mille of extra re-delivered events
     evolutionSeq: Long = Long.MaxValue, // seq at which schemaVersion → 2
-    contentLen: Int = 64
+    contentLen: Int = 64,
+    hotKeyPct: Int = 0        // % of events hitting ONE fixed (repo, path)
 )
 
 object ChangeGen {
@@ -63,8 +64,13 @@ object ChangeGen {
     val repoIdx = zipfRank(uniform01(h1), cfg.numRepos)
     val pathIdx = (math.abs(h2) % cfg.pathsPerRepo).toInt
     val ext = langs((pathIdx + repoIdx) % langs.length)
-    val repo = s"repo-$repoIdx"
-    val path = f"src/d${pathIdx % 13}%02d/m${pathIdx % 7}/f$pathIdx%04d.$ext"
+    // hot-key torture knob (SkewSpec): the roll derives from its own hash
+    // so hotKeyPct=0 streams are byte-identical to pre-knob streams
+    val hot = cfg.hotKeyPct > 0 &&
+      (math.abs(mix64(h4 ^ 0x5DEECE66DL)) % 100) < cfg.hotKeyPct
+    val repo = if (hot) "repo-hot" else s"repo-$repoIdx"
+    val path = if (hot) "src/hot/main.scala"
+      else f"src/d${pathIdx % 13}%02d/m${pathIdx % 7}/f$pathIdx%04d.$ext"
     val opRoll = (math.abs(h3) % 100).toInt
     val op =
       if (opRoll < cfg.pctInsert) "I"

@@ -106,14 +106,24 @@ object Maintenance {
       .filter(!(col("__deleted") && col("updated_seq") <= lit(tombstoneWatermark)))
 
     val commitDir = table.newCommitDir(version)
+    val timing = sys.env.get("GRAFT_MERGE_TIMING").contains("1")
+    def timed[T](label: String)(f: => T): T = {
+      if (!timing) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[compact v$version] $label%-10s ${(System.nanoTime()-t0)/1e9}%7.2fs")
+        r
+      }
+    }
     // explicit repartition on the key: one reducer per bucket, so each
     // bucket compacts to exactly one file (bucketOf == partition id)
-    merged.repartition(nb, MergeUpsert.KeyCols.map(col): _*)
+    timed("write") { merged.repartition(nb, MergeUpsert.KeyCols.map(col): _*)
       .withColumn("bucket", MergeUpsert.bucketOf(nb))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(commitDir.toString)
+      .parquet(commitDir.toString) }
 
-    val newFiles = table.listCommitFiles(commitDir, withRowCounts = true)
+    val newFiles = timed("footers") {
+      table.listCommitFiles(commitDir, withRowCounts = true) }
     val manifest = current.copy(
       version = version,
       files = newFiles, // all-base; deltas folded in

@@ -104,11 +104,16 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: `nBits`-wide sign-of-weighted-bit-sums over whitespace tokens.
-    * Pure array expressions; returns the hash as a long (nBits ≤ 63). */
-  def simHash(text: Column, nBits: Int = 32): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
+  /** SimHash: `nBits`-wide sign-of-weighted-bit-sums over word
+    * `shingleK`-shingles (NOT unigrams: unigram simhash measures
+    * bag-of-words profile similarity, so two documents sharing a
+    * vocabulary collide with zero phrase overlap — measured ~900 spurious
+    * pairs on a 500-doc same-vocabulary corpus; shingle features tie the
+    * hash to local word order, the web-dedup standard).
+    * Pure array expressions; returns the hash as a long (nBits ≤ 64). */
+  def simHash(text: Column, nBits: Int = 64, shingleK: Int = 2): Column = {
+    val hashes = transform(TextAnalysis.shingles(text, shingleK),
+      t => xxhash64(t))
     // one foldable array of single-bit masks; bit test via AND, no shifts
     val masks = array((0 until nBits).map(i => lit(1L << i)): _*)
     // single pass over the token hashes (evaluated once — per-bit aggregate
@@ -125,10 +130,11 @@ object Dedup {
     * sharing any chunk are candidates (Hamming ≤ chunks-1 guaranteed found).
     * Reports exact Hamming distance for downstream thresholding. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   nBits: Int = 32, chunks: Int = 4,
+                   nBits: Int = 64, chunks: Int = 8, shingleK: Int = 2,
                    maxBucket: Int = 1000): DataFrame = {
     val width = nBits / chunks
-    val hashed = df.select(col(idCol).as("id"), simHash(col(textCol), nBits).as("sh"))
+    val hashed = df.select(col(idCol).as("id"),
+      simHash(col(textCol), nBits, shingleK).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),

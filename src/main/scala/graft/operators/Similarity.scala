@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   *    broadcast (it is small by construction), so the "cross join" is a
   *    BroadcastNestedLoopJoin that streams the corpus exactly once — no
   *    shuffle of the corpus, scales linearly with corpus size;
-  *  - LSH-bucketed (random signed projections): the 100-TB path. Signatures
-  *    are deterministic (seeded hyperplanes derived from xxhash64), buckets
-  *    join as equi-joins, exact cosine reranks within buckets.
+  *  - LSH-bucketed (signed random projections): the 100-TB path. Signatures
+  *    are deterministic (seeded hyperplane matrix folded as ONE literal —
+  *    not per-row hash calls), buckets join as equi-joins, exact cosine
+  *    reranks within buckets, and only `(query_id, cand_id, cos)` ever
+  *    shuffles — the wide vectors stay map-side.
   *
-  * All vector math is `zip_with`/`aggregate` Column expressions — codegen'd,
-  * no UDF, no Python.
+  * All vector math is `zip_with`/`aggregate` Column expressions — no UDF,
+  * no Python. HOF lambdas are interpreted, so every expensive term is an
+  * argument (evaluated once), never a capture (re-evaluated per element).
   */
 object Similarity {
 
@@ -48,36 +51,59 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, plane, dim):
-    * maps xxhash64 to a value in [-1, 1). No Math.random — reproducible. */
-  private def planeComponent(plane: Int, dim: Column, seed: Int): Column =
-    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(2000001L)).cast("double")
-      - 1000000.0) / 1000000.0
+  /** Deterministic hyperplane component in [-1, 1): pure Scala splitmix64
+    * of (seed, plane, dim) — computed ONCE at plan time into a literal
+    * matrix, zero per-row hashing. */
+  private def planeComponent(seed: Int, plane: Int, d: Int): Double = {
+    val h = graft.gen.ChangeGen.mix64(
+      seed.toLong * 0x9E3779B9L + plane.toLong * 100003L + d.toLong)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
 
   /** Signed-random-projection signature: `nPlanes` sign bits packed in a
-    * long. Vectors with equal signatures are cosine-close candidates. */
-  def srpSignature(vec: Column, nPlanes: Int, seed: Int = 42): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+    * long. Vectors with equal signature bands are cosine-close candidates.
+    *
+    * The hyperplane matrix is a FOLDABLE LITERAL `array<array<double>>`
+    * (`dims` must be the embedding dimensionality), and all `nPlanes`
+    * running sums update in a single `aggregate` pass over the vector —
+    * the expensive input is traversed exactly once. The previous shape
+    * (one aggregate per plane, xxhash64 per element) evaluated
+    * nPlanes×dims hashes per row; this one does nPlanes×dims multiplies
+    * against constants. */
+  def srpSignature(vec: Column, dims: Int, nPlanes: Int, seed: Int = 42): Column = {
+    require(nPlanes <= 63)
+    val planes = array((0 until nPlanes).map { p =>
+      array((0 until dims).map(d => lit(planeComponent(seed, p, d))): _*)
+    }: _*)
+    // per element i: sums(p) += x_i * planes(p)(i) — one pass, all planes
+    val indexed = zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val sums = aggregate(indexed, array_repeat(lit(0.0), nPlanes),
+      (acc, xi) => zip_with(acc,
+        transform(planes, pl => element_at(pl, xi.getField("i") + 1)),
+        (a, w) => a + xi.getField("x") * w))
+    // pack sign bits
+    val masks = array((0 until nPlanes).map(p => lit(1L << p)): _*)
+    aggregate(zip_with(sums, masks, (s, m) => when(s >= 0.0, m).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /** LSH-bucketed ANN: bucket by SRP signature bands, exact-cosine rerank
     * within buckets, top-k per query. Trades recall for never comparing a
-    * query against the full corpus — the IVF/LSH scale path. */
+    * query against the full corpus — the IVF/LSH scale path.
+    *
+    * Scale shape: cosine is computed inside the band join (map-side, at
+    * most `bands` times per true pair), then candidates dedupe on
+    * `(query_id, cand_id)` with a plain hash aggregate — the embedding
+    * vectors are DROPPED before any exchange, so only ids+score shuffle. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int,
+              idCol: String, vecCol: String, k: Int, dims: Int,
               nPlanes: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
     require(nPlanes % bands == 0)
     val width = nPlanes / bands
     def banded(df: DataFrame, side: String): DataFrame = {
       val s = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"))
-        .withColumn("sig", srpSignature(col(s"${side}_v"), nPlanes, seed))
+        .withColumn("sig", srpSignature(col(s"${side}_v"), dims, nPlanes, seed))
       s.select(col(s"${side}_id"), col(s"${side}_v"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -88,13 +114,17 @@ object Similarity {
     }
     val c = banded(corpus, "cand")
     val q = banded(queries, "query")
-    val candidates = c.join(q, Seq("band", "bucket"))
+    val scored = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "query_v", "cand_id", "cand_v").distinct()
-    val scored = candidates.withColumn("cos", cosine(col("query_v"), col("cand_v")))
+      .withColumn("cos", cosine(col("query_v"), col("cand_v")))
+      .select("query_id", "cand_id", "cos")
+    // dedupe multi-band hits on ids only (first() — cos is identical
+    // across duplicates of a pair); vectors never reach this exchange
+    val candidates = scored.groupBy("query_id", "cand_id")
+      .agg(first(col("cos")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")
   }

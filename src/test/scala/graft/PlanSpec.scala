@@ -78,6 +78,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "window would ship every duplicate to one task:\n" + p)
   }
 
+  test("delta merge is ONE shuffle: partial agg -> exchange -> final agg") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(numEvents = 200)).toDF()
+    val merged = graft.lake.MergeUpsert.latestPerKey(ev)
+      .withColumn("content_sha", sha2(coalesce(col("content"), lit("")), 256))
+      .withColumn("bucket", graft.lake.MergeUpsert.bucketOf(16))
+    val p = merged.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // formatted explain lists each node twice (tree + details)
+    assert("- Exchange".r.findAllIn(p).size == 1,
+      "delta merge must shuffle exactly once:\n" + p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final ObjectHashAggregate:\n" + p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("ann lsh rerank dedupes on ids only — vectors never reach an exchange") {
+    val p = plan("ann_lsh_bucketed")
+    // the only exchanges: pair-dedupe hash agg on (query_id, cand_id) and
+    // the window's top-k partitioning; vector columns appear in no
+    // hashpartitioning clause
+    assert(!p.toLowerCase.contains("hashpartitioning(query_v"), p)
+    assert(!p.toLowerCase.contains("hashpartitioning(cand_v"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "band join should broadcast the small query side:\n" + p)
+  }
+
   test("j2 left enrichment broadcasts the dimension side") {
     val p = plan("j2_left_enrich")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Independent verification of the ANN operators: exact cosine math vs
+  * plain-Scala arithmetic, and LSH recall measured against the brute-force
+  * top-k on the deterministic sf0.001 embedding corpus (500 × 64-dim).
+  * Floors are MEASURED constants pinned as regressions (deterministic
+  * corpus + seeded hyperplanes ⇒ exact reproducibility). */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  private lazy val vectors: Map[Long, Array[Float]] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cosScala(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else d / nn
+  }
+
+  private def bruteTopK(q: Long, k: Int): Seq[Long] =
+    vectors.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, cosScala(vectors(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("Column cosine equals plain-Scala cosine (sampled rows)") {
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case ((q, c), v) =>
+      assert(math.abs(v - cosScala(vectors(q), vectors(c))) < 1e-9, s"($q,$c)")
+    }
+  }
+
+  test("brute-force top-k matches the plain-Scala ranking exactly") {
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    (0L until 5L).foreach { q => assert(got(q) == bruteTopK(q, 10), s"query $q") }
+  }
+
+  test("LSH top-k achieves pinned recall@10 vs brute force, ids shuffle w/o vectors") {
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, dims = 64, nPlanes = 32, bands = 8)
+    val got = lsh.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = (0L until 5L).map { q =>
+      val truth = bruteTopK(q, 10).toSet
+      got.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // Pinned MEASURED floor (0.62 on this corpus with 32 planes / 8
+    // bands). Context: this corpus's rank-10 neighbors sit at cos
+    // 0.25-0.39 (θ≈70°, per-plane agreement p≈0.6) — a similarity regime
+    // where SRP-LSH theory gives 1-(1-p⁴)⁸ ≈ 0.65 expected recall and
+    // where NO band shape reaches high recall without the candidate set
+    // degenerating to all-pairs (at width 2 × 16 bands even cos≈0 pairs
+    // collide with P≈0.99). On near-dup-grade similarity (cos ≥ 0.8,
+    // where the dedup pipeline operates) the same banding recalls ≥
+    // 1-(1-0.93⁴)⁸ ≈ 0.999; the brute-force operator remains the exact
+    // baseline path.
+    assert(mean >= 0.6, f"mean recall@10 $mean%.2f < pinned 0.6 (${recalls.mkString(",")})")
+    // candidate pairs are unique (id-level dedupe happened)
+    val pairs = lsh.select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length)
+  }
+
+  test("SRP signatures are deterministic and plan with a literal plane matrix") {
+    val s1 = emb.select(Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
+      .collect().map(_.getLong(0))
+    val s2 = emb.repartition(7).select(Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.sorted.sameElements(s2))
+    // no per-row hash calls for the planes: the matrix folds to a literal
+    val plan = emb.select(Similarity.srpSignature(col("embedding"), 64, 16))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("xxhash64"), "plane matrix must be a folded literal")
+  }
+}
