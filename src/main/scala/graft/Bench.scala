@@ -153,7 +153,7 @@ object Bench {
     // window — summarized by the median across reps. Throughput is
     // reported from the per-level minima (the machine's demonstrated
     // capability).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "3").toInt
     val repRows: Seq[Map[Int, Double]] = (1 to reps).map { r =>
       // alternate ladder direction across reps so a noise window drifting
       // WITHIN a rep biases alternate reps in opposite directions

@@ -49,20 +49,14 @@ object Dedup {
     // without a modulus a*h+b is monotone in h and every slot would pick
     // the same global-min shingle, degenerating all signatures.
     val mask31 = 0x7FFFFFFFL
-    val prime = 2147483647L // 2^31 - 1
-    val coeffs = array((0 until numHashes).map { i =>
-      val a = (graft.gen.ChangeGen.mix64(i.toLong * 2 + 1) & mask31) | 1L // odd
-      val b = graft.gen.ChangeGen.mix64(~i.toLong) & mask31
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    // single pass: fold the hashed shingles once, updating all slots per
-    // element — `baseHashes` (the expensive part) is evaluated exactly once
-    aggregate(baseHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, coeffs,
-        (m, ab) => least(m, pmod(
-          h.bitwiseAND(lit(mask31)) * ab.getField("a") + ab.getField("b"),
-          lit(prime)))))
+    val as = Array.tabulate(numHashes)(i =>
+      (graft.gen.ChangeGen.mix64(i.toLong * 2 + 1) & mask31) | 1L) // odd
+    val bs = Array.tabulate(numHashes)(i =>
+      graft.gen.ChangeGen.mix64(~i.toLong) & mask31)
+    // native codegen'd fold (graft.functions.MinHashSig): the equivalent
+    // aggregate(zip_with(...)) Column tree is interpreted per element and
+    // was the second-most-expensive query in the suite
+    graft.functions.MinHashSig(baseHashes, as, bs)
   }
 
   /** MinHash + LSH banding: returns candidate near-duplicate pairs
@@ -114,16 +108,10 @@ object Dedup {
   def simHash(text: Column, nBits: Int = 64, shingleK: Int = 2): Column = {
     val hashes = transform(TextAnalysis.shingles(text, shingleK),
       t => xxhash64(t))
-    // one foldable array of single-bit masks; bit test via AND, no shifts
-    val masks = array((0 until nBits).map(i => lit(1L << i)): _*)
-    // single pass over the token hashes (evaluated once — per-bit aggregate
-    // loops would re-tokenize the text nBits times), voting all bits per
-    // element; then fold votes → packed sign bits
-    val votes = aggregate(hashes, array_repeat(lit(0L), nBits),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L), (a, x) => a.bitwiseOR(x))
+    // native codegen'd sign-vote fold (graft.functions.SimHashBits): the
+    // equivalent aggregate(zip_with(...)) tree interprets N×nBits nodes
+    // per row and was the most expensive query in the suite
+    graft.functions.SimHashBits(hashes, nBits)
   }
 
   /** SimHash near-dup candidates: band the hash into `chunks` chunks; docs

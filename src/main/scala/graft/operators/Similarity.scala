@@ -63,29 +63,15 @@ object Similarity {
   /** Signed-random-projection signature: `nPlanes` sign bits packed in a
     * long. Vectors with equal signature bands are cosine-close candidates.
     *
-    * The hyperplane matrix is a FOLDABLE LITERAL `array<array<double>>`
-    * (`dims` must be the embedding dimensionality), and all `nPlanes`
-    * running sums update in a single `aggregate` pass over the vector —
-    * the expensive input is traversed exactly once. The previous shape
-    * (one aggregate per plane, xxhash64 per element) evaluated
-    * nPlanes×dims hashes per row; this one does nPlanes×dims multiplies
-    * against constants. */
+    * Delegates to the native [[graft.functions.SrpSignature]] Catalyst
+    * expression (codegen'd two-level loop; the plane matrix rides as a
+    * codegen reference object). An equivalent `aggregate(zip_with(...))`
+    * Column tree is interpreted per element and measured ~100× slower —
+    * slow enough that the LSH path lost to the brute-force baseline. */
   def srpSignature(vec: Column, dims: Int, nPlanes: Int, seed: Int = 42): Column = {
     require(nPlanes <= 63)
-    val planes = array((0 until nPlanes).map { p =>
-      array((0 until dims).map(d => lit(planeComponent(seed, p, d))): _*)
-    }: _*)
-    // per element i: sums(p) += x_i * planes(p)(i) — one pass, all planes
-    val indexed = zip_with(vec, sequence(lit(0), size(vec) - 1),
-      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
-    val sums = aggregate(indexed, array_repeat(lit(0.0), nPlanes),
-      (acc, xi) => zip_with(acc,
-        transform(planes, pl => element_at(pl, xi.getField("i") + 1)),
-        (a, w) => a + xi.getField("x") * w))
-    // pack sign bits
-    val masks = array((0 until nPlanes).map(p => lit(1L << p)): _*)
-    aggregate(zip_with(sums, masks, (s, m) => when(s >= 0.0, m).otherwise(0L)),
-      lit(0L), (a, x) => a.bitwiseOR(x))
+    val planes = Array.tabulate(nPlanes, dims)((p, d) => planeComponent(seed, p, d))
+    graft.functions.SrpSignature(vec, planes)
   }
 
   /** LSH-bucketed ANN: bucket by SRP signature bands, exact-cosine rerank

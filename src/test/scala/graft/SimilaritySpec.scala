@@ -76,15 +76,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == pairs.distinct.length)
   }
 
-  test("SRP signatures are deterministic and plan with a literal plane matrix") {
-    val s1 = emb.select(Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
-      .collect().map(_.getLong(0))
-    val s2 = emb.repartition(7).select(Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
-      .collect().map(_.getLong(0)).sorted
-    assert(s1.sorted.sameElements(s2))
-    // no per-row hash calls for the planes: the matrix folds to a literal
+  test("SRP signatures are deterministic, native-codegen'd, and match a Scala reference") {
+    val s1 = emb.select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = emb.repartition(7).select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    // independent plain-Scala reference over the same (seeded) planes
+    val planes = Array.tabulate(16, 64)((p, d) => {
+      val h = graft.gen.ChangeGen.mix64(42L * 0x9E3779B9L + p * 100003L + d)
+      ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    })
+    vectors.foreach { case (id, v) =>
+      var sig = 0L
+      (0 until 16).foreach { p =>
+        val dot = v.indices.map(d => v(d).toDouble * planes(p)(d)).sum
+        if (dot >= 0.0) sig |= (1L << p)
+      }
+      assert(sig == s1(id), s"vec $id")
+    }
+    // the native expression plans (no interpreted HOF tree, no hash calls)
     val plan = emb.select(Similarity.srpSignature(col("embedding"), 64, 16))
       .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("xxhash64"), "plane matrix must be a folded literal")
+    assert(plan.contains("srp_signature"), plan)
+    assert(!plan.contains("xxhash64"), "plane matrix must be plan-time constant")
   }
 }
