@@ -97,6 +97,17 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
       .map(_.split(",").map(_.trim).toSet)
     val spark = session(cpus)
+    // JIT/codegen/parquet-reader warmup: the first timed query otherwise
+    // absorbs ~2-4s of one-time infrastructure cost (observed on
+    // a2_preagg_join, alphabetically first of the heavy queries)
+    if (!skipQueries) {
+      try {
+        SparkEntry.queries("q1_agg")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        SparkEntry.queries("j2_left_enrich")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
     val results = if (skipQueries) Seq.empty[(String, Double)]
     else SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => filter.forall(_.contains(q._1)))

@@ -592,6 +592,22 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs, exact on a deterministic subset
+      // (DuckDB-oracled). The sub-quadratic scale path for the same
+      // predicate is the SRP-banded join (ann_lsh_bucketed /
+      // SimilaritySpec); this query pins the exact semantics. The 0.4
+      // threshold reflects this synthetic corpus's similarity range
+      // (max pairwise cos ≈ 0.5).
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-duplicate candidate pairs. bands=8 (r=2): for
       // J≥0.8 pairs, P(≥1 band collision) = 1-(1-J²)⁸ ≥ 0.9997 — recall
@@ -1116,6 +1132,22 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY doc_id
                     ORDER BY c.sc DESC, c.l DESC) AS rn FROM s) x
          WHERE rn = 1""",
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                            sqrt(list_sum(list_transform(b.v, x -> x*x))) = 0
+                       THEN 0.0
+                       ELSE list_sum(list_transform(list_zip(a.v, b.v),
+                              p -> p[1]*p[2])) /
+                            (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                             sqrt(list_sum(list_transform(b.v, x -> x*x))))
+                       END, 6) AS cos
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4""",
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
