@@ -93,16 +93,25 @@ object Maintenance {
     * dropped, pending renames materialized. Returns None if the table is
     * empty or a concurrent committer wins the CAS (safe: nothing was
     * committed; the orphaned output is vacuum-able and the caller may
-    * simply retry later — compaction is advisory, never load-bearing). */
+    * simply retry later — compaction is advisory, never load-bearing).
+    *
+    * `buckets = Some(set)` compacts ONLY those buckets — at 10^10 events a
+    * whole-table pass per maintenance run is itself a scale bug, so the
+    * incremental form reads and rewrites just the chosen buckets' base +
+    * delta files and splices them into the manifest (see
+    * [[compactHotBuckets]] for the delta-count-driven picker). Pending
+    * renames are only cleared by a FULL compaction (a partial one leaves
+    * old-named files behind). */
   def compact(spark: SparkSession, table: LakeTable,
-              tombstoneWatermark: Long = -1L): Option[Manifest] = {
+              tombstoneWatermark: Long = -1L,
+              buckets: Option[Set[Int]] = None): Option[Manifest] = {
     val current = table.currentManifest.getOrElse(return None)
     if (current.files.isEmpty) return None
     val nb = current.numBuckets
     val version = current.version + 1
 
     // merged view (latest-wins collapse over base ∪ deltas, canonical cols)
-    val merged = table.read(spark)
+    val merged = table.read(spark, buckets)
       .filter(!(col("__deleted") && col("updated_seq") <= lit(tombstoneWatermark)))
 
     val commitDir = table.newCommitDir(version)
@@ -124,14 +133,33 @@ object Maintenance {
 
     val newFiles = timed("footers") {
       table.listCommitFiles(commitDir, withRowCounts = true) }
+    val kept = buckets match {
+      case Some(bs) => current.files.filterNot(f => bs.contains(f.bucket))
+      case None => Seq.empty
+    }
     val manifest = current.copy(
       version = version,
-      files = newFiles, // all-base; deltas folded in
-      renames = Map.empty, // outputs are canonical — mapping materialized
+      files = kept ++ newFiles,
+      // a partial compaction leaves old-named files → mapping must survive
+      renames = if (buckets.isEmpty) Map.empty else current.renames,
       lineage = current.lineage +
         (s"compact_v$version" -> (s"tombstoneWatermark=$tombstoneWatermark " +
+          s"buckets=${buckets.map(_.size.toString).getOrElse("all")} " +
           s"files=${newFiles.size} rows=${newFiles.map(_.rows).sum}")))
     if (table.tryCommit(manifest)) Some(manifest) else None
+  }
+
+  /** Incremental maintenance driver: compact the buckets whose DELTA file
+    * count reached `minDeltaFiles` (read-amplification bound). Returns the
+    * committed manifest, or None if nothing qualified / CAS lost. */
+  def compactHotBuckets(spark: SparkSession, table: LakeTable,
+                        minDeltaFiles: Int = 4,
+                        tombstoneWatermark: Long = -1L): Option[Manifest] = {
+    val current = table.currentManifest.getOrElse(return None)
+    val hot = current.deltaFiles.groupBy(_.bucket)
+      .collect { case (b, fs) if fs.size >= minDeltaFiles => b }.toSet
+    if (hot.isEmpty) None
+    else compact(spark, table, tombstoneWatermark, Some(hot))
   }
 
   /** Back-compat alias: tombstone GC is compaction with a watermark. */

@@ -129,4 +129,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(table.currentManifest.get.deltaFiles.nonEmpty)
     assert(table.snapshot(spark).count() > 0)
   }
+
+  test("incremental per-bucket compaction: hot buckets fold, state unchanged") {
+    val table = replayed()
+    val before = FoldOracle.digestOfTable(table.snapshot(spark))
+    val m0 = table.currentManifest.get
+    val deltaBuckets = m0.deltaFiles.map(_.bucket).toSet
+    assert(deltaBuckets.nonEmpty)
+    // every bucket has 6 delta files (6 epochs) -> all qualify at >= 6;
+    // pick a stricter subset by compacting just one bucket explicitly
+    val target = Set(deltaBuckets.head)
+    val m1 = Maintenance.compact(spark, table, buckets = Some(target))
+    assert(m1.isDefined)
+    assert(m1.get.deltaFiles.forall(f => !target.contains(f.bucket)),
+      "compacted bucket must hold no delta files")
+    assert(m1.get.deltaFiles.nonEmpty, "other buckets' deltas untouched")
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == before)
+    // the threshold-driven driver folds the rest
+    val m2 = Maintenance.compactHotBuckets(spark, table, minDeltaFiles = 2)
+    assert(m2.isDefined)
+    assert(m2.get.deltaFiles.isEmpty, "all hot buckets folded")
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == before)
+    // nothing left to compact -> None
+    assert(Maintenance.compactHotBuckets(spark, table, minDeltaFiles = 2).isEmpty)
+  }
 }
