@@ -11,11 +11,13 @@ import graft.lake.{LakeTable, Maintenance, MergeUpsert}
   * duplicate calls (or duplicate epoch delivery) are no-ops.
   *
   * Each epoch lands as a DELTA commit (O(batch) work, never O(table));
-  * `compactEvery = k` folds the delta tier into the base every k epochs —
-  * the write-amplification/read-amplification dial: small k ≈ copy-on-write
-  * freshness, large k ≈ pure log-structured ingest with a single fold at
-  * the end. Compaction failure (lost CAS) is non-fatal by design: the
-  * merge-on-read view is already correct.
+  * `compactEvery = k` is the read-amplification dial: every k committed
+  * epochs an INCREMENTAL maintenance pass folds the buckets holding ≥ k
+  * delta files (O(hot buckets), not O(table)), and one FULL compaction
+  * runs at the end of the drain so the final state is a pure base tier.
+  * Small k ≈ copy-on-write freshness, large k ≈ pure log-structured ingest
+  * with a single fold at the end. Compaction failure (lost CAS) is
+  * non-fatal by design: the merge-on-read view is already correct.
   *
   * Micro-batch semantics mirror Structured Streaming's
   * `Trigger.AvailableNow` — drain all available epochs, then stop — without
@@ -34,9 +36,10 @@ object Replayer {
   /** Replay all epochs in [watermark+1, maxEpoch] from the change stream.
     * `events` must contain an `epoch` column; only the needed epoch range
     * is scanned per batch (partition-prunable when the stream is stored
-    * partitioned by epoch). `compactEvery = k > 0` compacts after every
-    * k-th committed epoch AND once at the end of the run, so the final
-    * state is a pure base tier. */
+    * partitioned by epoch). `compactEvery = k > 0` runs an incremental
+    * hot-bucket fold (threshold = k delta files) after every k-th
+    * committed epoch AND one full compaction at the end of the run, so
+    * the final state is a pure base tier. */
   def run(spark: SparkSession, events: DataFrame, table: LakeTable,
           maxEpoch: Long, upToEpoch: Option[Long] = None,
           compactEvery: Int = 0): RunReport = {
@@ -54,7 +57,10 @@ object Replayer {
         s"epoch $e merge returned uncommitted result"))
       sinceCompact += 1
       if (compactEvery > 0 && sinceCompact >= compactEvery && e < stop) {
-        if (Maintenance.compact(spark, table).isDefined) compactions += 1
+        // mid-run maintenance is INCREMENTAL: fold only the buckets whose
+        // delta count crossed the threshold (O(hot buckets), not O(table))
+        if (Maintenance.compactHotBuckets(spark, table,
+            minDeltaFiles = compactEvery).isDefined) compactions += 1
         sinceCompact = 0
       }
       EpochReport(e, r)

@@ -126,4 +126,19 @@ class ReplaySpec extends SparkSpec {
     assert(lin("epoch_0").contains("events="))
     assert(lin("epoch_0").contains("bytes="))
   }
+
+  test("mid-run incremental compaction interleaves with active replay") {
+    // compactEvery=2 over 10 epochs: hot-bucket folds fire WHILE later
+    // epochs keep appending deltas, then a full fold closes the run —
+    // digest must still equal the oracle and the base tier must be pure
+    val table = freshTable()
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    val report = Replayer.run(spark, events, table, maxEpoch = 9,
+      compactEvery = 2)
+    assert(report.compactions >= 3,
+      s"expected several mid-run folds + the final one, got ${report.compactions}")
+    assert(table.currentManifest.get.deltaFiles.isEmpty,
+      "final state must be a pure base tier")
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracleDigest(cfg))
+  }
 }
