@@ -14,11 +14,12 @@ import graft.lake.LakeTable
   *  1. query suite — every SparkEntry query timed at `local[$SPARK_GRAFT_CPUS]`
   *     on `$SPARK_GRAFT_SF_DIR` (per-query seconds under "queries");
   *  2. the north-rule metric — WAL-replay→lake-merge throughput
-  *     (change-events/sec) for the SAME pre-materialized changelog at two
-  *     parallelism levels (local[8] vs local[32] by default), with
-  *     scaling efficiency = (T_low / T_high) / (high/low). This is the
-  *     sandbox stand-in for the N-vs-4N-executor cluster requirement in
-  *     BASELINE.json (no real cluster here); methodology per BASELINE.md.
+  *     (change-events/sec) for the SAME pre-materialized changelog across a
+  *     parallelism ladder (local[1,2,4,8] by default), scaling efficiency
+  *     from per-level minima: primary pair N=1 vs 4N=4, with 2v8 reported
+  *     alongside. This is the sandbox stand-in for the N-vs-4N-executor
+  *     cluster requirement in BASELINE.json (no real cluster here);
+  *     methodology per BASELINE.md and the notes written into BENCH.md.
   *
   * Also writes BENCH.md (human-readable report) best-effort.
   */
@@ -165,15 +166,28 @@ object Bench {
     // reported from the per-level minima (the machine's demonstrated
     // capability).
     val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "3").toInt
-    val repRows: Seq[Map[Int, Double]] = (1 to reps).map { r =>
+    // wall-clock budget for the rep loop: host noise windows can inflate a
+    // rep 2-3x, and the min-estimator is already valid with 2 reps — stop
+    // early rather than blow the round's bench budget
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "2100").toDouble
+    val repStart = System.nanoTime()
+    val repBuf = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
+    var r = 1
+    while (r <= reps &&
+        (r == 1 || (System.nanoTime() - repStart) / 1e9 < budgetSec)) {
       // alternate ladder direction across reps so a noise window drifting
       // WITHIN a rep biases alternate reps in opposite directions
       val order = if (r % 2 == 1) levels.reverse else levels
       val m = order.map(p => p -> replayOnce(p, walDir, cdcEpochs, warmWal)).toMap
       System.err.println(f"[bench] cdc rep$r " +
         levels.map(p => f"local[$p]=${m(p)}%.1fs").mkString(" "))
-      m
+      repBuf += m
+      r += 1
     }
+    if (repBuf.size < reps)
+      System.err.println(f"[bench] cdc wall budget ${budgetSec}%.0fs reached " +
+        s"after ${repBuf.size} reps (min-estimator remains valid)")
+    val repRows: Seq[Map[Int, Double]] = repBuf.toSeq
     // PRIMARY estimator: per-level MINIMA across reps. Host contention
     // only ever ADDS wall time (identical replays measured 225 vs 871
     // executor core-seconds on this box), so the minimum is the cleanest
