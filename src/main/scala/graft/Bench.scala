@@ -219,7 +219,7 @@ object Bench {
       f""""events_per_sec_p$p":${delivered / tMin(p)}%.0f""").mkString(",")
     val cdc = f"""{"events":$delivered,"epochs":$cdcEpochs,""" +
       f""""levels":[${levels.mkString(",")}],$secs,$evps,""" +
-      f""""scaling_efficiency":$efficiency%.3f,""" +
+      s""""scaling_efficiency":${jnum(efficiency)},""" +
       s""""scaling_efficiency_1v4":${jnum(eff14)},""" +
       s""""scaling_efficiency_2v8":${jnum(eff28)}}"""
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}"""

@@ -81,8 +81,17 @@ object Replayer {
                compactEvery: Int = 0): (LakeTable, RunReport) = {
     val dir = java.nio.file.Paths.get(tableRoot)
     if (java.nio.file.Files.exists(dir)) {
-      // truncate: remove the manifest log and data (full refresh)
+      // refuse to truncate anything that is not recognizably a lake table
+      // root (or an empty directory): a mistyped/mis-joined path — e.g. a
+      // parent directory — would otherwise be irreversibly destroyed
       import scala.jdk.CollectionConverters._
+      val isEmpty = scala.util.Using.resource(
+        java.nio.file.Files.list(dir))(!_.iterator().hasNext)
+      require(isEmpty ||
+        java.nio.file.Files.isDirectory(dir.resolve("_log")),
+        s"backfill: refusing to truncate '$tableRoot' — it is neither " +
+          "empty nor a lake table root (no _log/ subdirectory)")
+      // truncate: remove the manifest log and data (full refresh)
       scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
         s.iterator().asScala.toSeq.reverse.foreach(p =>
           java.nio.file.Files.deleteIfExists(p))

@@ -35,8 +35,13 @@ import org.apache.spark.sql.functions._
   *  - metrics ride on `observe()` over the write — no extra pass, no
   *    separate stats job, no driver-side footer reads on the hot path;
   *  - a lost manifest CAS is retried by re-basing on the new head (delta
-  *    files are content-independent of concurrent commits), so concurrent
-  *    committers and maintenance never lose events.
+  *    files are content-independent of concurrent commits), so racing
+  *    maintenance (compaction/vacuum) never loses events and two
+  *    committers racing the SAME epoch resolve exactly-once (the loser's
+  *    files orphan). Epochs must still be committed in ascending order
+  *    per table — a later epoch overtaking an uncommitted earlier one is
+  *    detected via the per-epoch lineage registry and throws rather than
+  *    silently dropping the earlier batch.
   */
 object MergeUpsert {
 
@@ -91,13 +96,28 @@ object MergeUpsert {
   /** Merge one epoch batch as a delta commit. Caller guarantees `batch`
     * holds exactly the events of `epoch` (plus possible re-deliveries of
     * older events, which latest-wins neutralizes). Returns None if the
-    * epoch is already committed (exactly-once skip) — including when a
-    * concurrent committer wins the race for the same epoch. */
+    * epoch is already committed (exactly-once skip, verified against the
+    * per-epoch lineage registry) — including when a concurrent committer
+    * wins the race for the same epoch. Epochs must be committed in
+    * ascending order by a sequential writer (the [[graft.engine.Replayer]]
+    * contract): if the table's watermark has passed `epoch` without
+    * `epoch` itself ever committing, this throws instead of silently
+    * dropping the batch — a later epoch overtaking an uncommitted earlier
+    * one would otherwise lose events with no error. */
   def mergeEpoch(spark: SparkSession, table: LakeTable, batch: DataFrame,
                  epoch: Long): Option[MergeResult] = {
     val current = table.currentManifest
     val watermark = current.map(_.epochWatermark).getOrElse(-1L)
-    if (epoch <= watermark) return None // duplicate epoch delivery → no-op
+    if (epoch <= watermark) {
+      // duplicate delivery of a committed epoch → exactly-once no-op; an
+      // epoch BELOW the watermark that never committed is an ordering bug
+      if (current.exists(_.lineage.contains(s"epoch_$epoch"))) return None
+      throw new IllegalStateException(
+        s"mergeEpoch($epoch): table watermark is already $watermark but " +
+          s"epoch $epoch was never committed — a later epoch overtook it " +
+          "and its events would be silently lost (epochs must be " +
+          "committed in ascending order per table)")
+    }
     val nb = table.numBuckets
 
     // 1. normalize renamed feed columns to canonical names (manifest map)
@@ -106,6 +126,22 @@ object MergeUpsert {
       if (df.columns.contains(former) && !df.columns.contains(canon))
         df.withColumnRenamed(former, canon)
       else df
+    }
+    // A former name that survives normalization means the batch carries
+    // BOTH the former and the canonical column. Folding it silently would
+    // hijack a legitimately re-introduced column into the renamed one
+    // forever, and evolving it as a new field would collide with the
+    // read path's alias projection (duplicate requested column). Fail
+    // fast: the mapping is cleared by a full compaction, after which the
+    // old name may be re-introduced as a genuinely new column.
+    locally {
+      val stale = mapped.columns.filter(aliases.contains)
+      if (stale.nonEmpty) throw new IllegalArgumentException(
+        s"mergeEpoch($epoch): batch re-introduces former column name(s) " +
+          s"${stale.mkString(", ")} while their rename mapping is live " +
+          s"(${stale.map(n => s"$n->${aliases(n)}").mkString(", ")}); " +
+          "run a full compaction (materializes renames, clears the " +
+          "mapping) before re-using a retired column name")
     }
 
     // 2. within-batch compaction (partial+final agg, one winner per key),
@@ -154,8 +190,16 @@ object MergeUpsert {
       case None => deltaSchema.json
       case Some(mm) =>
         val existing = mm.schema
+        // never evolve a FORMER (renamed-away) name into the schema: on a
+        // CAS re-base, a rename may have committed between our manifest
+        // read and this commit, so the delta's physical schema can still
+        // carry the old name — the read path already folds that physical
+        // column into the canonical one via the alias projection, and
+        // adding it as a schema field would make physicalSchema request
+        // the same column twice (every later read/compact would fail)
+        val formers = mm.feedAliases.keySet
         val added = deltaSchema.fields.filterNot(f =>
-          existing.fieldNames.contains(f.name))
+          existing.fieldNames.contains(f.name) || formers.contains(f.name))
         org.apache.spark.sql.types.StructType(existing.fields ++ added).json
     }
     def lineageEntry = s"epoch_$epoch" -> (s"events=$events keys=$rowsWritten " +
@@ -185,8 +229,16 @@ object MergeUpsert {
           math.max(0L, events - rowsWritten), deletes, rowsWritten,
           bytesWritten, bucketsTouched))
       head = table.currentManifest
+      // same epoch applied by a concurrent committer → our files orphan
+      // (vacuum-able); a LATER epoch having overtaken an uncommitted one
+      // is an ordering violation that must not silently drop this batch
+      if (head.exists(_.lineage.contains(s"epoch_$epoch"))) return None
       if (head.exists(_.epochWatermark >= epoch))
-        return None // concurrent committer applied this epoch; files orphan
+        throw new IllegalStateException(
+          s"mergeEpoch($epoch): a concurrent commit advanced the " +
+            s"watermark to ${head.get.epochWatermark} but epoch $epoch " +
+            "itself never committed — refusing to orphan its events " +
+            "(epochs must be committed in ascending order per table)")
     }
     throw new IllegalStateException(
       s"mergeEpoch($epoch): manifest CAS contention after $attempts attempts")

@@ -127,6 +127,24 @@ class ReplaySpec extends SparkSpec {
     assert(lin("epoch_0").contains("bytes="))
   }
 
+  test("an epoch overtaken without ever committing throws; a committed one skips") {
+    val table = freshTable()
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 4)
+    // committed epoch below the watermark → exactly-once no-op
+    assert(MergeUpsert.mergeEpoch(spark, table,
+      events.filter(col("epoch") === 2), 2L).isEmpty)
+    // forge a manifest whose watermark jumped PAST an uncommitted epoch
+    // (epoch 7 has no lineage entry): merging 7 must throw, not silently
+    // orphan its events — the single-sequential-writer ordering contract
+    val m = table.currentManifest.get
+    assert(table.tryCommit(m.copy(version = m.version + 1, epochWatermark = 9L)))
+    val ex = intercept[IllegalStateException] {
+      MergeUpsert.mergeEpoch(spark, table, events.filter(col("epoch") === 7), 7L)
+    }
+    assert(ex.getMessage.contains("never committed"))
+  }
+
   test("mid-run incremental compaction interleaves with active replay") {
     // compactEvery=2 over 10 epochs: hot-bucket folds fire WHILE later
     // epochs keep appending deltas, then a full fold closes the run —

@@ -99,6 +99,41 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("re-introducing a former column name while its rename is live fails fast") {
+    val table = new LakeTable(tmpDir("evo-retire"), 4)
+    Replayer.run(spark, v1Events, table, maxEpoch = 1)
+    table.renameColumn("lang", "language")
+
+    // a batch carrying BOTH the former and canonical names is ambiguous:
+    // silently folding `lang` into `language` would hijack a legitimately
+    // new column forever; evolving it as a new field would corrupt the
+    // alias read projection (duplicate requested column) — so it throws
+    val both = Seq((7L, 2L, "I", "r1", "y.go", "c7", "go", "newmeaning", "by", 3))
+      .toDF("seq", "epoch", "op", "repo", "path", "commit", "language",
+        "lang", "content", "schemaVersion")
+    val ex = intercept[IllegalArgumentException] {
+      MergeUpsert.mergeEpoch(spark, table, both, 2L)
+    }
+    assert(ex.getMessage.contains("former column name"))
+    assert(table.lastCommittedEpoch == 1, "failed merge must not commit")
+
+    // a FULL compaction materializes the rename and clears the mapping;
+    // the former name may then return as a genuinely new, independent column
+    graft.lake.Maintenance.compact(spark, table)
+    assert(table.currentManifest.get.renames.isEmpty)
+    MergeUpsert.mergeEpoch(spark, table, both, 2L)
+    val m = table.currentManifest.get
+    assert(m.schema.fieldNames.contains("language"))
+    assert(m.schema.fieldNames.contains("lang"), "retired name returns as new column")
+    val row = table.snapshot(spark).filter(col("path") === "y.go")
+      .select("language", "lang").collect().head
+    assert(row.getString(0) == "go" && row.getString(1) == "newmeaning")
+    // pre-compaction rows read NULL for the re-introduced column
+    val old = table.snapshot(spark).filter(col("path") === "a.scala")
+      .select("lang").collect().head
+    assert(old.isNullAt(0))
+  }
+
   test("replay across the evolution point is batching-invariant") {
     val all = v1Events.unionByName(v2Events, allowMissingColumns = true)
     // one epoch-at-a-time
