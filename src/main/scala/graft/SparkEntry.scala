@@ -679,6 +679,39 @@ object SparkEntry {
           col("payload_sha"),
           concat_ws(",", transform(col("features"),
             f => format_number(f.cast("double"), 3))).as("features_sig"))
+    }),
+
+    "pipeline_person_table" -> ((s, dir) => {
+      // C3 multi-table pipeline end-to-end: derive a deterministic
+      // changelog from the events table, drive the FULL dependency-ordered
+      // pipeline (source + five OMOP-shaped domain lake tables, epoch by
+      // epoch, mid-run compaction active) into a scratch lake, then read
+      // back the PERSISTED person domain table. 'error' events are
+      // deletes; epochs are deliberately uncorrelated with seq order
+      // (pmod(event_id, 3)) — the retained-tombstone rule makes replay
+      // order-insensitive, which is exactly what the oracle's pure
+      // latest-wins SQL assumes.
+      val changes = t(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(4L)) === 0) // keep the smoke cheap
+        .select(
+          col("event_id").as("seq"),
+          pmod(col("event_id"), lit(3L)).as("epoch"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          concat(lit("r"), pmod(col("user_id"), lit(37L))).as("repo"),
+          concat(lit("p"), col("user_id")).as("path"),
+          col("event_id").cast("string").as("commit"),
+          col("event_type").as("lang"),
+          concat(lit("c:"), col("event_id")).as("content"),
+          lit(1).as("schemaVersion"))
+      val root = java.nio.file.Files.createTempDirectory("graft-pipe-q").toString
+      val source = new graft.lake.LakeTable(s"$root/source", 8)
+      val domains = graft.engine.Pipeline.omopDomains(s)
+      val tables = graft.engine.Pipeline.openDomainTables(
+        s"$root/domains", domains, 4)
+      graft.engine.Pipeline.run(s, changes, source, domains, tables,
+        maxEpoch = 2, compactEvery = 2)
+      tables("person").snapshot(s).select("person_source_value", "n_paths",
+        "n_langs", "langs", "first_path", "modified_seq")
     })
   )
 
@@ -1183,6 +1216,28 @@ object SparkEntry {
                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                 CAST(strlen(text) AS INT) AS byte_len,
                 sha256(text) AS payload_sha
-         FROM documents"""
+         FROM documents""",
+
+    // the Spark side replays the derived changelog through the persisted
+    // multi-table pipeline; the oracle computes the same final person
+    // state as pure latest-wins SQL over the same derivation
+    "pipeline_person_table" ->
+      """WITH ch AS (
+           SELECT event_id AS seq,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                  'r' || (user_id % 37) AS repo,
+                  'p' || user_id AS path,
+                  event_type AS lang
+           FROM events WHERE event_id % 4 = 0),
+         w AS (SELECT *, row_number() OVER (PARTITION BY repo, path
+                 ORDER BY seq DESC) AS rn FROM ch),
+         live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+         SELECT repo AS person_source_value,
+                count(*) AS n_paths,
+                count(DISTINCT lang) AS n_langs,
+                array_to_string(list_sort(list(DISTINCT lang)), ';') AS langs,
+                min(path) AS first_path,
+                max(seq) AS modified_seq
+         FROM live GROUP BY repo"""
   )
 }

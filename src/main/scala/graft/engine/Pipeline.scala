@@ -1,0 +1,223 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{LakeTable, Maintenance, MergeUpsert}
+import graft.transform.Domains
+
+/** Dependency-ordered multi-table incremental pipeline: the engine analogue
+  * of the reference's 14-target-table nightly run
+  * (/root/reference/Delphi/ArchitecturePlan.md:51-68; step order
+  * /root/reference/Delphi/config.yaml:226-241). One source lake table is
+  * fed by the WAL replay; N derived OMOP-shaped domain tables are each an
+  * incrementally-maintained [[LakeTable]] of their own, updated per epoch
+  * in C3 dependency order (person → visit → {condition, drug,
+  * measurement}) through the SAME delta-commit merge path as the source —
+  * persisted, independently queryable, resumable.
+  *
+  * Maintenance strategy = '''delta-driven partial recomputation''', the
+  * reference's own lookback shape made exact: each epoch touches a set of
+  * change keys; every domain declares how those keys map to its GROUP key
+  * (`groupExprs`), and the pipeline recomputes ONLY the affected groups
+  * from the merged source state, upserting the fresh rows and emitting
+  * tombstones for groups that vanished (e.g. a repo whose last path was
+  * deleted). Per-epoch domain work is therefore O(rows of affected
+  * groups), never O(table):
+  *  - the affected-group set is distinct-projected from the epoch batch
+  *    and '''broadcast''' into semi-joins on both the source snapshot and
+  *    the domain table (no full-table shuffle);
+  *  - group aggregates are partial+final hash aggregates over only the
+  *    semi-filtered rows;
+  *  - tombstone detection is `affected domain keys EXCEPT recomputed
+  *    keys` — both sides already restricted to the affected groups.
+  * At 10^10 events the dominant cost is the source-snapshot scan feeding
+  * the semi-join; a production layout buckets the source by the hottest
+  * group key (repo) so that scan partition-prunes too. Domain rows carry
+  * `seq = epoch` so recomputation is idempotent and latest-wins across
+  * epochs is total-ordered (re-running an epoch rewrites identical rows).
+  *
+  * Resume: every table checkpoints independently via its manifest
+  * watermark. A crash mid-pipeline (source committed epoch e, person
+  * committed e, visit still at e-1) resumes at the MINIMUM watermark + 1;
+  * already-committed (table, epoch) pairs skip through the exactly-once
+  * merge, and a domain that fell several epochs behind catches up in one
+  * merge whose affected-group set unions all missed epochs' batches.
+  */
+object Pipeline {
+
+  /** One derived domain table.
+    *
+    * @param name       domain/table name
+    * @param keyCols    the domain table's merge key
+    * @param groupExprs recomputation-group key: name → expression over
+    *                   CHANGE-EVENT/source rows; the names must also be
+    *                   columns of the transform's output (they locate
+    *                   existing rows of affected groups for tombstoning)
+    * @param transform  (session, source rows restricted to affected
+    *                   groups, upstream domain snapshots by name) → the
+    *                   current domain rows for those groups
+    * @param dependsOn  upstream domains whose epoch-e state this
+    *                   transform consumes — the C3 ordering contract
+    */
+  final case class DomainDef(
+      name: String,
+      keyCols: Seq[String],
+      groupExprs: Seq[(String, Column)],
+      transform: (SparkSession, DataFrame, Map[String, DataFrame]) => DataFrame,
+      dependsOn: Seq[String] = Seq.empty)
+
+  /** The five OMOP-shaped domains over the source-code change feed,
+    * declared in dependency order (person → visit → {condition, drug,
+    * measurement}; measurement consumes person — the reference's
+    * insert-then-update enrichment made an explicit upstream read). */
+  def omopDomains(spark: SparkSession): Seq[DomainDef] = Seq(
+    DomainDef("person", Seq("person_source_value"),
+      Seq("person_source_value" -> col("repo")),
+      (_, src, _) => Domains.personLike(src)),
+    DomainDef("visit_occurrence", Seq("repo", "path"),
+      Seq("repo" -> col("repo")),
+      (_, src, _) => Domains.visitChain(src)),
+    DomainDef("condition_occurrence", Seq("repo", "condition_group"),
+      Seq("repo" -> col("repo"),
+        "condition_group" -> substring_index(col("path"), "/", 2)),
+      (_, src, _) => Domains.conditionLike(src)),
+    DomainDef("drug_exposure", Seq("repo", "path"),
+      Seq("repo" -> col("repo"), "path" -> col("path")),
+      (_, src, _) => Domains.drugLike(src)),
+    DomainDef("measurement", Seq("repo", "path"),
+      Seq("repo" -> col("repo")),
+      (s, src, up) => measurementDomain(s, src, up("person")),
+      dependsOn = Seq("person")))
+
+  /** MEASUREMENT with a real upstream dependency: broadcast
+    * concept-dimension lookup (J10) plus an enrichment join against the
+    * PERSON domain table's epoch-state (the reference's visit_detail →
+    * visit_occurrence FK chain, ArchitecturePlan.md:51-68). */
+  def measurementDomain(spark: SparkSession, src: DataFrame,
+                        person: DataFrame): DataFrame = {
+    val dim = Domains.langDimension(spark)
+    val p = person.select(col("person_source_value").as("repo"),
+      col("n_langs").as("repo_n_langs"))
+    src.join(broadcast(dim), Seq("lang"), "left")
+      .join(p, Seq("repo"), "left")
+      .select(col("repo"), col("path"),
+        coalesce(col("lang_name"), lit("Unknown")).as("measurement_concept"),
+        col("content_sha").as("value_source_value"),
+        col("repo_n_langs"))
+  }
+
+  final case class TableUpdate(table: String, epoch: Long,
+                               result: Option[MergeUpsert.MergeResult])
+  final case class PipelineReport(updates: Seq[TableUpdate], compactions: Int) {
+    def applied(table: String): Seq[Long] =
+      updates.filter(u => u.table == table && u.result.isDefined).map(_.epoch)
+  }
+
+  /** Open (or create) the domain tables under `root/<name>`. */
+  def openDomainTables(root: String, domains: Seq[DomainDef],
+                       numBuckets: Int): Map[String, LakeTable] =
+    domains.map(d => d.name ->
+      new LakeTable(java.nio.file.Paths.get(root, d.name).toString,
+        numBuckets, d.keyCols)).toMap
+
+  /** Drive the source table AND all domain tables through epochs
+    * [min-watermark+1, maxEpoch] in dependency order. `domains` must be
+    * topologically ordered (each `dependsOn` name appears earlier). */
+  def run(spark: SparkSession, events: DataFrame, source: LakeTable,
+          domains: Seq[DomainDef], tables: Map[String, LakeTable],
+          maxEpoch: Long, upToEpoch: Option[Long] = None,
+          compactEvery: Int = 0): PipelineReport = {
+    domains.foldLeft(Set.empty[String]) { (seen, d) =>
+      require(d.dependsOn.forall(seen.contains),
+        s"domain ${d.name} depends on ${d.dependsOn.mkString(",")} — " +
+          "declare upstream domains first (dependency order)")
+      seen + d.name
+    }
+    val stop = upToEpoch.map(u => math.min(u, maxEpoch)).getOrElse(maxEpoch)
+    val start = (source.lastCommittedEpoch +:
+      domains.map(d => tables(d.name).lastCommittedEpoch)).min + 1
+    var compactions = 0
+    var sinceCompact = 0
+    val updates = Seq.newBuilder[TableUpdate]
+
+    (start to stop).foreach { e =>
+      val batch = events.filter(col("epoch") === e)
+      val srcRes = MergeUpsert.mergeEpoch(spark, source, batch, e)
+      updates += TableUpdate("source", e, srcRes)
+
+      domains.foreach { d =>
+        val dTable = tables(d.name)
+        if (dTable.lastCommittedEpoch < e) {
+          // catch-up form: a domain that fell behind unions the affected
+          // groups of every missed epoch into one recomputation
+          val missed = events.filter(col("epoch") > dTable.lastCommittedEpoch
+            && col("epoch") <= e)
+          val res = updateDomain(spark, d, dTable, source, tables, missed, e)
+          updates += TableUpdate(d.name, e, res)
+        } else updates += TableUpdate(d.name, e, None)
+      }
+
+      sinceCompact += 1
+      if (compactEvery > 0 && sinceCompact >= compactEvery && e < stop) {
+        val all = source +: domains.map(d => tables(d.name))
+        if (all.count(t => Maintenance.compactHotBuckets(spark, t,
+          minDeltaFiles = compactEvery).isDefined) > 0) compactions += 1
+        sinceCompact = 0
+      }
+    }
+    if (compactEvery > 0 && start <= stop) {
+      (source +: domains.map(d => tables(d.name))).foreach { t =>
+        if (t.currentManifest.exists(_.deltaFiles.nonEmpty) &&
+          Maintenance.compact(spark, t).isDefined) compactions += 1
+      }
+    }
+    PipelineReport(updates.result(), compactions)
+  }
+
+  /** One domain's epoch update: recompute affected groups from the merged
+    * source state, tombstone vanished groups, merge as epoch `e`. */
+  private def updateDomain(spark: SparkSession, d: DomainDef,
+                           dTable: LakeTable, source: LakeTable,
+                           tables: Map[String, LakeTable],
+                           affectedEvents: DataFrame,
+                           e: Long): Option[MergeUpsert.MergeResult] = {
+    val groupNames = d.groupExprs.map(_._1)
+    val aff = affectedEvents
+      .select(d.groupExprs.map { case (n, ex) => ex.as(n) }: _*).distinct()
+
+    // source rows of the affected groups only (broadcast semi-join)
+    val snap = source.snapshot(spark)
+    val snapRestricted = snap
+      .withColumns(d.groupExprs.toMap)
+      .join(broadcast(aff), groupNames, "left_semi")
+      .select(snap.columns.map(col): _*)
+
+    val upstream: Map[String, DataFrame] =
+      d.dependsOn.map(n => n -> tables(n).snapshot(spark)).toMap
+    val fresh0 = d.transform(spark, snapRestricted, upstream)
+    // `updated_seq` is the lake's reserved merge-ordering column; a domain
+    // attribute carrying that name (visitChain/drugLike expose the source
+    // row's seq) is preserved under `source_seq`
+    val fresh = if (fresh0.columns.contains("updated_seq"))
+      fresh0.withColumnRenamed("updated_seq", "source_seq") else fresh0
+
+    // groups that vanished: previously-present domain keys of affected
+    // groups with no recomputed row → delete tombstones
+    val existing = dTable.snapshot(spark)
+    val dels =
+      if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
+      else existing.join(broadcast(aff), groupNames, "left_semi")
+        .select(d.keyCols.map(col): _*)
+        .except(fresh.select(d.keyCols.map(col): _*))
+
+    // domain rows order on (seq = epoch, commit): recomputation is
+    // deterministic, so re-merging an epoch rewrites identical rows
+    val batch = fresh.withColumn("op", lit("U"))
+      .unionByName(dels.withColumn("op", lit("D")), allowMissingColumns = true)
+    val withOrd0 = batch.withColumn("seq", lit(e))
+    val withOrd = if (withOrd0.columns.contains("commit")) withOrd0
+      else withOrd0.withColumn("commit", lit(""))
+    MergeUpsert.mergeEpoch(spark, dTable, withOrd, e)
+  }
+}

@@ -60,6 +60,7 @@ final case class Manifest(
     schemaJson: String,       // Spark StructType JSON (evolves on merge)
     numBuckets: Int,
     bucketFn: String,         // identifies the bucket hash function
+    keyCols: Seq[String],     // the table's merge key (a TABLE property)
     renames: Map[String, Seq[String]], // canonical col -> former names (newest first)
     files: Seq[ManifestFile],
     lineage: Map[String, String] // per-commit metrics: events, conflicts, bytes, ...
@@ -80,7 +81,8 @@ object LakeTable {
   val BucketFn = "murmur3_pmod_v1"
 }
 
-class LakeTable(val root: String, defaultNumBuckets: Int) {
+class LakeTable(val root: String, defaultNumBuckets: Int,
+                defaultKeyCols: Seq[String] = MergeUpsert.DefaultKeyCols) {
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_log")
   private def dataDir: Path = Paths.get(root, "data")
@@ -92,6 +94,14 @@ class LakeTable(val root: String, defaultNumBuckets: Int) {
     * value wins; the constructor arg only seeds a fresh table. */
   def numBuckets: Int =
     currentManifest.map(_.numBuckets).getOrElse(defaultNumBuckets)
+
+  /** Merge-key columns are a TABLE property like [[numBuckets]]: the source
+    * table keys on `(repo, path)`, derived domain tables key on their own
+    * business keys (e.g. `person_source_value`, `(repo, condition_group)`).
+    * Recorded in every manifest; the constructor arg only seeds a fresh
+    * table. */
+  def keyCols: Seq[String] =
+    currentManifest.map(_.keyCols).getOrElse(defaultKeyCols)
 
   // ---------------- manifest log ----------------
 
@@ -123,6 +133,9 @@ class LakeTable(val root: String, defaultNumBuckets: Int) {
       numBuckets = node.get("numBuckets").asInt(),
       bucketFn = Option(node.get("bucketFn")).map(_.asText())
         .getOrElse(LakeTable.BucketFn),
+      keyCols = Option(node.get("keyCols"))
+        .map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(MergeUpsert.DefaultKeyCols),
       renames = Option(node.get("renames")).map(_.properties().asScala.map { e =>
         e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
       }.toMap).getOrElse(Map.empty),
@@ -151,6 +164,8 @@ class LakeTable(val root: String, defaultNumBuckets: Int) {
     node.put("schemaJson", m.schemaJson)
     node.put("numBuckets", m.numBuckets)
     node.put("bucketFn", m.bucketFn)
+    val kc = node.putArray("keyCols")
+    m.keyCols.foreach(kc.add)
     val rn = node.putObject("renames")
     m.renames.foreach { case (canon, formers) =>
       val arr = rn.putArray(canon)
@@ -200,7 +215,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int) {
       val m = currentManifest.getOrElse(
         throw new IllegalStateException("cannot rename a column of an empty table"))
       val schema = m.schema
-      val reserved = MergeUpsert.KeyCols ++ Seq("updated_seq", "__deleted",
+      val reserved = m.keyCols ++ Seq("updated_seq", "__deleted",
         "commit", "content_sha")
       require(!reserved.contains(oldName) && !reserved.contains(newName),
         s"cannot rename engine key/system column ($oldName -> $newName)")
@@ -277,7 +292,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int) {
     val raw = readRaw(spark, buckets)
     val hasDeltas = currentManifest.exists(_.deltaFiles.nonEmpty)
     if (!hasDeltas || raw.columns.isEmpty) raw
-    else MergeUpsert.latestPerKey(raw, Seq("updated_seq", "commit"))
+    else MergeUpsert.latestPerKey(raw, Seq("updated_seq", "commit"), keyCols)
   }
 
   /** Live snapshot: merged rows minus delete tombstones. Tombstones are

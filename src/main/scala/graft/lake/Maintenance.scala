@@ -126,8 +126,8 @@ object Maintenance {
     }
     // explicit repartition on the key: one reducer per bucket, so each
     // bucket compacts to exactly one file (bucketOf == partition id)
-    timed("write") { merged.repartition(nb, MergeUpsert.KeyCols.map(col): _*)
-      .withColumn("bucket", MergeUpsert.bucketOf(nb))
+    timed("write") { merged.repartition(nb, current.keyCols.map(col): _*)
+      .withColumn("bucket", MergeUpsert.bucketOf(nb, current.keyCols))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(commitDir.toString) }
 

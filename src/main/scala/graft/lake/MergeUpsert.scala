@@ -45,16 +45,19 @@ import org.apache.spark.sql.functions._
   */
 object MergeUpsert {
 
-  val KeyCols: Seq[String] = Seq("repo", "path")
+  /** The source table's merge key. Derived domain tables key on their own
+    * business keys — the key is a table property ([[LakeTable.keyCols]]). */
+  val DefaultKeyCols: Seq[String] = Seq("repo", "path")
 
   /** Bucket function = Spark's own HashPartitioning id expression
-    * (`pmod(murmur3(repo,path), n)`). This is deliberate: the final
+    * (`pmod(murmur3(keyCols...), n)`). This is deliberate: the final
     * aggregate's shuffle already places every row in the partition whose
     * id equals its bucket (when shuffle.partitions == numBuckets), so the
     * delta write's `partitionBy("bucket")` needs NO further shuffle.
     * Identified in the manifest as [[LakeTable.BucketFn]]. */
-  def bucketOf(numBuckets: Int): Column =
-    pmod(hash(col("repo"), col("path")), lit(numBuckets)).cast("int")
+  def bucketOf(numBuckets: Int,
+               keyCols: Seq[String] = DefaultKeyCols): Column =
+    pmod(hash(keyCols.map(col): _*), lit(numBuckets)).cast("int")
 
   /** Collapse a frame to the winning row per key by `ordCols` desc.
     * Partial+final ObjectHashAggregate — map-side combine collapses hot
@@ -64,10 +67,11 @@ object MergeUpsert {
     * degrading to SortAggregate (per-partition n·log n sort of every merge
     * batch — asserted against in PlanSpec). */
   def latestPerKey(df: DataFrame,
-                   ordCols: Seq[String] = Seq("seq", "commit")): DataFrame = {
+                   ordCols: Seq[String] = Seq("seq", "commit"),
+                   keyCols: Seq[String] = DefaultKeyCols): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
     val ord = struct(ordCols.map(col): _*)
-    df.groupBy(KeyCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
       .agg(graft.functions.LatestBy(payload, ord).as("__w"))
       .select(col("__w.*"))
   }
@@ -119,6 +123,7 @@ object MergeUpsert {
           "committed in ascending order per table)")
     }
     val nb = table.numBuckets
+    val kc = table.keyCols
 
     // 1. normalize renamed feed columns to canonical names (manifest map)
     val aliases = current.map(_.feedAliases).getOrElse(Map.empty)
@@ -145,12 +150,18 @@ object MergeUpsert {
     }
 
     // 2. within-batch compaction (partial+final agg, one winner per key),
-    //    then the storage projection; sha only on winners
+    //    then the storage projection; sha only on winners. content_sha is
+    //    the per-row invariant of the SOURCE table (input_hint); derived
+    //    domain tables have no content column and skip it.
     val obsIn = Observation()
     val compacted = latestPerKey(
-      mapped.observe(obsIn, count(lit(1)).as("events")))
-    val delta = compacted
-      .withColumn("content_sha", sha2(coalesce(col("content"), lit("")), 256))
+      mapped.observe(obsIn, count(lit(1)).as("events")), keyCols = kc)
+    val sha =
+      if (compacted.columns.contains("content"))
+        compacted.withColumn("content_sha",
+          sha2(coalesce(col("content"), lit("")), 256))
+      else compacted
+    val delta = sha
       .withColumn("updated_seq", col("seq"))
       .withColumn("__deleted", col("op") === "D")
       .drop("op", "seq", "epoch", "schemaVersion")
@@ -163,10 +174,10 @@ object MergeUpsert {
       max(col("updated_seq")).as("maxSeq"),
       sum(when(col("__deleted"), 1L).otherwise(0L)).as("deletes"),
       // DISTINCT aggregates are disallowed in observations; nb is small
-      size(collect_set(bucketOf(nb))).as("buckets"))
+      size(collect_set(bucketOf(nb, kc))).as("buckets"))
     val commitDir = table.newCommitDir(current.map(_.version).getOrElse(0L) + 1)
     timed("write", epoch) { observed
-      .withColumn("bucket", bucketOf(nb))
+      .withColumn("bucket", bucketOf(nb, kc))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(commitDir.toString) }
 
@@ -212,6 +223,7 @@ object MergeUpsert {
       schemaJson = evolvedSchemaJson(m),
       numBuckets = nb,
       bucketFn = LakeTable.BucketFn,
+      keyCols = kc,
       renames = m.map(_.renames).getOrElse(Map.empty),
       files = m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
       lineage = m.map(_.lineage).getOrElse(Map.empty) + lineageEntry)

@@ -1,0 +1,83 @@
+package graft.oracle
+
+import graft.oracle.FoldOracle.State
+
+/** Per-domain ground truth for [[graft.engine.Pipeline]]: plain
+  * single-threaded Scala folds over the [[FoldOracle]] final source state —
+  * deliberately NOT Spark, so the pipeline-equivalence tests compare two
+  * independent implementations of the same OMOP mapping semantics
+  * (/root/reference/Delphi/ArchitecturePlan.md:51-68). Each oracle renders
+  * canonical sorted row lines; compare as sets/digests against the
+  * collected domain lake tables.
+  */
+object DomainOracle {
+
+  private val codeLangs = Set("scala", "java", "python", "go", "rust", "c")
+  private val langNames = Map(
+    "scala" -> "Scala source", "java" -> "Java source",
+    "python" -> "Python source", "go" -> "Go source",
+    "rust" -> "Rust source", "c" -> "C source",
+    "sql" -> "SQL script", "shell" -> "Shell script",
+    "markdown" -> "Markdown document", "yaml" -> "YAML config")
+
+  /** `substring_index(path, '/', 2)` — prefix up to the second '/'. */
+  def dir2(path: String): String = {
+    val parts = path.split("/", -1)
+    if (parts.length <= 2) path else parts.take(2).mkString("/")
+  }
+
+  private def opt(o: Option[Any]): String = o.map(_.toString).getOrElse("∅")
+
+  /** PERSON: one line per repo —
+    * `repo|n_paths|n_langs|langs|first_path|modified_seq`. */
+  def personLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(_.repo).map { case (repo, rows) =>
+      val langs = rows.map(_.lang).toSet.toSeq.sorted.mkString(";")
+      s"$repo|${rows.size}|${rows.map(_.lang).toSet.size}|$langs|" +
+        s"${rows.map(_.path).min}|${rows.map(_.seq).max}"
+    }.toSeq.sorted
+
+  /** VISIT_OCCURRENCE: `repo|path|commit|seq|preceding_commit` with the
+    * LAG(1) chain ordered by (seq, path) within each repo. */
+  def visitLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(_.repo).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(r => (r.seq, r.path))
+      ordered.zip(None +: ordered.init.map(r => Some(r.commit))).map {
+        case (r, prev) =>
+          s"${r.repo}|${r.path}|${r.commit}|${r.seq}|${opt(prev)}"
+      }
+    }.sorted
+
+  /** CONDITION_OCCURRENCE: one line per (repo, dir2(path)) —
+    * `repo|group|start_seq|end_seq|updt_seq|n`. */
+  def conditionLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(r => (r.repo, dir2(r.path))).map {
+      case ((repo, g), rows) =>
+        val seqs = rows.map(_.seq)
+        s"$repo|$g|${seqs.min}|${seqs.max}|${seqs.max}|${rows.size}"
+    }.toSeq.sorted
+
+  /** DRUG_EXPOSURE: `repo|path|lang|seq|content_len-or-∅` (content_len
+    * only for code langs — the drifted-schema union branch). */
+  def drugLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.map { r =>
+      val len = if (codeLangs.contains(r.lang)) Some(r.content.length) else None
+      s"${r.repo}|${r.path}|${r.lang}|${r.seq}|${opt(len)}"
+    }.toSeq.sorted
+
+  /** MEASUREMENT: `repo|path|concept|sha256(content)|repo_n_langs` — the
+    * dimension lookup plus the PERSON-table enrichment join. */
+  def measurementLines(state: Map[(String, String), State]): Seq[String] = {
+    val nLangs: Map[String, Int] =
+      state.values.groupBy(_.repo).map { case (repo, rows) =>
+        repo -> rows.map(_.lang).toSet.size
+      }
+    state.values.map { r =>
+      s"${r.repo}|${r.path}|${langNames.getOrElse(r.lang, "Unknown")}|" +
+        s"${FoldOracle.sha256Hex(r.content)}|${nLangs(r.repo)}"
+    }.toSeq.sorted
+  }
+
+  def digest(lines: Seq[String]): String =
+    FoldOracle.sha256Hex(lines.mkString("\n"))
+}

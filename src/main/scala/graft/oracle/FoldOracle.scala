@@ -14,17 +14,18 @@ import graft.model.ChangeEvent
 object FoldOracle {
 
   final case class State(repo: String, path: String, commit: String,
-                         lang: String, content: String)
+                         lang: String, content: String, seq: Long = -1L)
 
   /** Fold events seq-ascending into the expected final keyed state.
     * Duplicate seqs (re-deliveries) are identical rows — last application
-    * wins trivially. */
+    * wins trivially. `seq` records the winning event's offset (the lake's
+    * `updated_seq`), which the per-domain oracles aggregate over. */
   def expectedState(events: Seq[ChangeEvent]): Map[(String, String), State] = {
     val m = scala.collection.mutable.LinkedHashMap[(String, String), State]()
     events.sortBy(e => (e.seq, e.commit)).foreach { e =>
       val k = (e.repo, e.path)
       if (e.op == "D") m.remove(k)
-      else m.update(k, State(e.repo, e.path, e.commit, e.lang, e.content))
+      else m.update(k, State(e.repo, e.path, e.commit, e.lang, e.content, e.seq))
     }
     m.toMap
   }

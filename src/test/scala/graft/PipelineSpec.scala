@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{Pipeline, Replayer}
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+import graft.oracle.{DomainOracle, FoldOracle}
+
+/** Multi-table incremental pipeline (the reference's dependency-ordered
+  * 14-table topology, /root/reference/Delphi/ArchitecturePlan.md:51-68):
+  * five persisted OMOP-shaped domain lake tables maintained per epoch by
+  * delta-driven partial recomputation, each verified against an
+  * independent plain-Scala fold oracle, including crash/resume
+  * mid-pipeline and a domain catching up from several epochs behind.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val cfg = GenConfig(seed = 21L, numEvents = 3000L, numRepos = 12,
+    pathsPerRepo = 40, epochSize = 500L)
+  private def oracleState = FoldOracle.expectedState(cfg)
+
+  private def fmt(v: Any): String = Option(v).map(_.toString).getOrElse("∅")
+  private def lines(df: DataFrame, cols: String*): Seq[String] =
+    df.select(cols.map(col): _*).collect()
+      .map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString("|"))
+      .toSeq.sorted
+
+  private def assertDomains(tables: Map[String, LakeTable]): Unit = {
+    val st = oracleState
+    assert(lines(tables("person").snapshot(spark), "person_source_value",
+      "n_paths", "n_langs", "langs", "first_path", "modified_seq")
+      == DomainOracle.personLines(st), "person")
+    assert(lines(tables("visit_occurrence").snapshot(spark), "repo", "path",
+      "commit", "source_seq", "preceding_commit")
+      == DomainOracle.visitLines(st), "visit_occurrence")
+    assert(lines(tables("condition_occurrence").snapshot(spark), "repo",
+      "condition_group", "start_seq", "end_seq", "updt_seq", "n_occurrences")
+      == DomainOracle.conditionLines(st), "condition_occurrence")
+    assert(lines(tables("drug_exposure").snapshot(spark), "repo", "path",
+      "exposure_concept", "source_seq", "content_len")
+      == DomainOracle.drugLines(st), "drug_exposure")
+    assert(lines(tables("measurement").snapshot(spark), "repo", "path",
+      "measurement_concept", "value_source_value", "repo_n_langs")
+      == DomainOracle.measurementLines(st), "measurement")
+  }
+
+  private def freshPipeline(): (LakeTable, Seq[Pipeline.DomainDef],
+      Map[String, LakeTable]) = {
+    val source = new LakeTable(tmpDir("pipe-src"), 8)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pipe-dom"), domains, 4)
+    (source, domains, tables)
+  }
+
+  test("pipeline maintains all five domain tables epoch-by-epoch " +
+      "(per-domain oracle equality, mid-run compaction active)") {
+    val (source, domains, tables) = freshPipeline()
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    val report = Pipeline.run(spark, events, source, domains, tables,
+      maxEpoch = 5, compactEvery = 3)
+    assert(report.applied("source") == (0L to 5L))
+    domains.foreach(d => assert(report.applied(d.name) == (0L to 5L), d.name))
+    // final states are pure base tiers (full fold at end of drain)
+    (source +: domains.map(d => tables(d.name))).foreach(t =>
+      assert(t.currentManifest.get.deltaFiles.isEmpty, t.root))
+    assert(FoldOracle.digestOfTable(source.snapshot(spark)) ==
+      FoldOracle.digestOfState(oracleState))
+    assertDomains(tables)
+  }
+
+  test("crash mid-pipeline (between domain commits) resumes to the same state") {
+    val (source, domains, tables) = freshPipeline()
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 5,
+      upToEpoch = Some(2))
+    // poison visit_occurrence's transform at epoch 3: source + person
+    // commit epoch 3, visit and everything after it stay at epoch 2
+    val poisoned = domains.map {
+      case d if d.name == "visit_occurrence" =>
+        d.copy(transform = (_, _, _) => sys.error("injected crash"))
+      case d => d
+    }
+    intercept[RuntimeException] {
+      Pipeline.run(spark, events, source, poisoned, tables, maxEpoch = 5,
+        upToEpoch = Some(3))
+    }
+    assert(source.lastCommittedEpoch == 3)
+    assert(tables("person").lastCommittedEpoch == 3)
+    assert(tables("visit_occurrence").lastCommittedEpoch == 2)
+    assert(tables("measurement").lastCommittedEpoch == 2)
+    // resume with the healthy pipeline: min-watermark restart re-enters
+    // epoch 3, skips the committed (table, epoch) pairs, finishes the run
+    val resumed = Pipeline.run(spark, events, source, domains, tables,
+      maxEpoch = 5)
+    assert(resumed.applied("source") == (4L to 5L))
+    assert(resumed.applied("person") == (4L to 5L))
+    assert(resumed.applied("visit_occurrence") == (3L to 5L))
+    assertDomains(tables)
+  }
+
+  test("domains catch up when the source table ran ahead") {
+    val (source, domains, tables) = freshPipeline()
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 5,
+      upToEpoch = Some(1))
+    // source advances alone (an operator replaying outside the pipeline)
+    Replayer.run(spark, events, source, maxEpoch = 5)
+    assert(source.lastCommittedEpoch == 5)
+    assert(tables("person").lastCommittedEpoch == 1)
+    val report = Pipeline.run(spark, events, source, domains, tables,
+      maxEpoch = 5)
+    assert(report.applied("source").isEmpty, "source already done")
+    domains.foreach(d => assert(report.applied(d.name) == (2L to 5L), d.name))
+    assertDomains(tables)
+  }
+
+  test("deleting a repo's last path tombstones its derived person row") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val evs = Seq(
+      ChangeEvent(0, 0, "I", "r1", "src/a/x.scala", "c0", "scala", "v0", 1),
+      ChangeEvent(1, 0, "I", "r1", "src/a/y.java", "c1", "java", "v1", 1),
+      ChangeEvent(2, 0, "I", "r2", "src/b/z.go", "c2", "go", "v2", 1),
+      ChangeEvent(3, 1, "D", "r1", "src/a/x.scala", "c3", "scala", "", 1),
+      ChangeEvent(4, 1, "D", "r1", "src/a/y.java", "c4", "java", "", 1))
+    val source = new LakeTable(tmpDir("pipe-del-src"), 4)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pipe-del-dom"), domains, 2)
+    Pipeline.run(spark, events = evs.toDF(), source, domains, tables,
+      maxEpoch = 1)
+    val persons = tables("person").snapshot(spark)
+      .select("person_source_value").collect().map(_.getString(0)).toSet
+    assert(persons == Set("r2"), "r1's person row must be tombstoned")
+    assert(tables("visit_occurrence").snapshot(spark)
+      .filter(col("repo") === "r1").count() == 0)
+    assert(tables("condition_occurrence").snapshot(spark)
+      .filter(col("repo") === "r1").count() == 0)
+    // ... and the tombstone is retained physically (late re-delivery safety)
+    val raw = tables("person").read(spark)
+    assert(raw.filter(col("person_source_value") === "r1" &&
+      col("__deleted")).count() == 1)
+  }
+}
