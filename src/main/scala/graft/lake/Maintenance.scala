@@ -41,8 +41,39 @@ object Maintenance {
     * if unreferenced — they may belong to an in-flight commit. */
   val DefaultGraceMillis: Long = 10L * 60 * 1000
 
+  /** Vanish-tolerant recursive listing: vacuum scans the data tree WHILE
+    * concurrent commits rename task files out of `_temporary`, so any
+    * path may disappear between listing and visiting — `Files.walk`'s
+    * fail-fast iterator would abort the whole pass (observed as
+    * UncheckedIOException(NoSuchFileException) under the ConcurrencySpec
+    * race). A vanished entry simply isn't vacuum's to reclaim. */
+  private def safeWalk(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def go(p: java.nio.file.Path): Unit = {
+      val children =
+        try Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+        catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            Seq.empty
+        }
+      children.foreach { c =>
+        out += c
+        if (Files.isDirectory(c)) go(c)
+      }
+    }
+    go(root)
+    out.toSeq
+  }
+
+  private def mtimeOrNow(p: java.nio.file.Path): Long =
+    try Files.getLastModifiedTime(p).toMillis
+    catch { case _: java.io.IOException => System.currentTimeMillis() }
+
   /** Delete unreferenced data files older than `graceMillis` and manifests
-    * older than `retainVersions` (default: current only). */
+    * older than `retainVersions` (default: current only). Safe to run
+    * concurrently with ingestion: the grace window keeps in-flight staging
+    * files untouchable, and the scan tolerates paths vanishing mid-pass
+    * (a racing commit finalizing its write). */
   def vacuum(table: LakeTable, retainVersions: Int = 1,
              graceMillis: Long = DefaultGraceMillis): VacuumResult = {
     val head = table.currentVersion
@@ -58,24 +89,25 @@ object Maintenance {
     val dataDir = Paths.get(table.root, "data")
     var files = 0; var bytes = 0L
     if (Files.exists(dataDir)) {
-      val all = Using.resource(Files.walk(dataDir)) { s =>
-        s.iterator().asScala.filter(p => Files.isRegularFile(p)).toSeq
-      }
-      all.foreach { p =>
-        val old = Files.getLastModifiedTime(p).toMillis <= cutoff
+      val all = safeWalk(dataDir)
+      all.filter(p => Files.isRegularFile(p)).foreach { p =>
+        val old = mtimeOrNow(p) <= cutoff
         if (old && !referenced.contains(p.toAbsolutePath.toString)) {
-          bytes += Files.size(p); files += 1
-          Files.deleteIfExists(p)
+          try {
+            val sz = Files.size(p)
+            if (Files.deleteIfExists(p)) { bytes += sz; files += 1 }
+          } catch { case _: java.io.IOException => () } // vanished mid-pass
         }
       }
       // prune now-empty commit/bucket dirs (also age-gated: a freshly
       // created staging dir may be about to receive files)
-      val dirs = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
-      dirs.reverse.foreach { p =>
-        if (Files.isDirectory(p) && p != dataDir &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff &&
-            Using.resource(Files.list(p))(!_.iterator().hasNext))
-          Files.deleteIfExists(p)
+      safeWalk(dataDir).reverse.foreach { p =>
+        try {
+          if (Files.isDirectory(p) && p != dataDir &&
+              mtimeOrNow(p) <= cutoff &&
+              Using.resource(Files.list(p))(!_.iterator().hasNext))
+            Files.deleteIfExists(p)
+        } catch { case _: java.io.IOException => () }
       }
     }
 
