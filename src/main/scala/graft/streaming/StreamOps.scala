@@ -67,26 +67,73 @@ object StreamOps {
       .flatMapGroupsWithState[ChainState, KeyLifecycle](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((repo, path), batch, state: GroupState[ChainState]) =>
-          var st = state.getOption.getOrElse(ChainState(0L, -1L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[KeyLifecycle]
-          batch.toSeq.sortBy(e => (e.seq, e.commit)).foreach { e =>
-            if (e.seq > st.lastSeq) { // ignore re-delivered older events
-              if (e.op == "D") {
-                if (st.versions > 0)
-                  out += KeyLifecycle(repo, path, st.versions, e.seq)
-                st = ChainState(0L, e.seq)
-              } else {
-                st = ChainState(st.versions + 1, e.seq)
-              }
-            }
-          }
-          // keep the state (incl. the post-delete lastSeq tombstone) so a
-          // late pre-delete event cannot restart a closed chain — the
-          // streaming twin of the lake's retained tombstones; a real
-          // deployment adds a GroupStateTimeout keyed to the event-time
-          // watermark to GC closed-chain state
-          state.update(st)
-          out.iterator
+          fold(repo, path, batch, state)
       }
+  }
+
+  /** [[keyLifecycles]] with bounded state — the 10^10-event form. Closed
+    * chains keep a tombstone state (versions = 0) so a late pre-delete
+    * event cannot restart them, but at scale those tombstones accumulate
+    * unboundedly; here the event-time watermark gates their GC (the
+    * lake-side analogue is [[graft.lake.Maintenance.compact]]'s
+    * tombstoneWatermark; the reference's is the lookback window,
+    * /root/reference/Delphi/config.yaml:21-22): once the watermark passes
+    * `closedAt + ttl`, no admissible late event can precede the close —
+    * Spark drops later-than-watermark input before the stateful operator —
+    * so the tombstone is dead weight and an EventTimeTimeout removes it.
+    * LIVE chains never time out (their state IS the data); a chain
+    * reopened after its close keeps its state when a stale timeout fires.
+    * State size: O(live keys + closed chains younger than ttl). */
+  def keyLifecyclesGc(events: Dataset[ChangeEvent], watermarkDelay: String,
+                      closedChainTtlSec: Long): Dataset[KeyLifecycle] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("event_ts", timestamp_seconds(col("seq")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[ChangeEvent]
+      .groupByKey(e => (e.repo, e.path))
+      .flatMapGroupsWithState[ChainState, KeyLifecycle](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((repo, path), batch, state: GroupState[ChainState]) =>
+          if (state.hasTimedOut) {
+            // fires once; a closed chain is GC'd, a reopened one survives
+            // (its stale timeout simply isn't re-armed)
+            if (state.getOption.exists(_.versions == 0L)) state.remove()
+            Iterator.empty
+          } else {
+            val out = fold(repo, path, batch, state)
+            state.getOption.filter(_.versions == 0L).foreach { st =>
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                st.lastSeq * 1000L + closedChainTtlSec * 1000L))
+            }
+            out
+          }
+      }
+  }
+
+  /** Shared per-key fold: apply the batch in (seq, commit) order, ignore
+    * events at or below the applied seq (idempotent, like the batch
+    * merge), emit a lifecycle row whenever a delete closes a chain, and
+    * keep the post-delete tombstone state so late pre-delete events
+    * cannot restart a closed chain. */
+  private def fold(repo: String, path: String, batch: Iterator[ChangeEvent],
+                   state: GroupState[ChainState]): Iterator[KeyLifecycle] = {
+    var st = state.getOption.getOrElse(ChainState(0L, -1L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyLifecycle]
+    batch.toSeq.sortBy(e => (e.seq, e.commit)).foreach { e =>
+      if (e.seq > st.lastSeq) { // ignore re-delivered older events
+        if (e.op == "D") {
+          if (st.versions > 0)
+            out += KeyLifecycle(repo, path, st.versions, e.seq)
+          st = ChainState(0L, e.seq)
+        } else {
+          st = ChainState(st.versions + 1, e.seq)
+        }
+      }
+    }
+    state.update(st)
+    out.iterator
   }
 }

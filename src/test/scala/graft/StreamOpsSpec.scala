@@ -68,6 +68,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closed-chain state is GC'd once the watermark passes its TTL; " +
+      "late protection holds within it") {
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.keyLifecyclesGc(in.toDS(), watermarkDelay = "5 seconds",
+        closedChainTtlSec = 10)
+      .writeStream.format("memory").queryName("chains_gc")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      // a: I@1,U@2 closed by D@3 (tombstone state); b: live chain
+      in.addData(ev(1, "I", "a"), ev(2, "U", "a"), ev(3, "D", "a"), ev(4, "I", "b"))
+      q.processAllAvailable()
+      assert(stateRows == 2, s"closed tombstone + live chain, got $stateRows")
+      // within the watermark, a late pre-delete event cannot restart `a`
+      in.addData(ev(2, "U", "a"), ev(30, "U", "b"))
+      q.processAllAvailable()
+      // next batch runs with the advanced watermark (25s > closedAt 3s +
+      // ttl 10s): a's tombstone times out and is removed; b stays live
+      in.addData(ev(31, "U", "b"))
+      q.processAllAvailable()
+      assert(stateRows == 1, s"closed chain must be GC'd, got $stateRows")
+      val chains = spark.table("chains_gc").as[StreamOps.KeyLifecycle]
+        .collect().map(c => (c.path, c.versions, c.closedAtSeq)).toSet
+      assert(chains == Set(("a", 2L, 3L)), chains.toString)
+    } finally q.stop()
+  }
+
   test("late pre-delete event cannot restart a closed chain") {
     val in = MemoryStream[ChangeEvent]
     val q = StreamOps.keyLifecycles(in.toDS())
