@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked mains write sbt's OWN stdout, not the logger pump: the driver
+// parses Bench's JSON line from stdout, and the default LoggedOutput
+// strategy prefixes every line with "[info] " (breaking JSON parsing).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -77,6 +77,31 @@ object Bench {
     }.getOrElse(sys.error(s"BenchReplay(p=$cpus) produced no result: $out"))
   }
 
+  /** Run a bench main in a fresh pinned-heap child JVM and return the
+    * payload of the first stdout line starting with `marker` (child
+    * stderr streams through for progress visibility). */
+  private def childMain(mainClass: String, args: Seq[String],
+                        marker: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("-D"))
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq(s"-Xmx$childMem", s"-Xms$childMem") ++
+      Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("GRAFT_TMPDIR", scratchBase)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+    proc.waitFor()
+    out.linesIterator.collectFirst {
+      case l if l.startsWith(marker) => l.stripPrefix(marker)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -126,6 +151,34 @@ object Bench {
     }
     val total = results.map(_._2).sum
 
+    // ---- 1b. ANN crossover at a realistic query-set size ----------------
+    // The 5-query suite shape makes broadcast brute force trivially cheap
+    // (one corpus stream), hiding LSH's sub-linear candidate advantage.
+    // Measured here at |Q| >= 500 — the regime an ANN index exists for.
+    val annSection: Option[String] = if (skipQueries) None else try {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(pmod(col("vec_id"), lit(4L)) === 0)
+      val nQ = q.count()
+      def run(f: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      // 8-bit bands (vs the suite query's 4-bit): at |Q|≥500 the wider
+      // bucket space cuts the candidate set ~8x; recall floors for the
+      // high-cos regime are pinned in SimilaritySpec
+      def lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 10, dims = 64, nPlanes = 32, bands = 4)
+      run(brute); run(lsh) // warm both plans
+      val bSec = run(brute)
+      val lSec = run(lsh)
+      System.err.println(f"[bench] ann crossover |Q|=$nQ: " +
+        f"brute=$bSec%.2fs lsh=$lSec%.2fs")
+      Some(f"""{"n_queries":$nQ,"brute_sec":$bSec%.3f,"lsh_sec":$lSec%.3f}""")
+    } catch { case _: Throwable => None }
+
     // ---- 2. CDC replay throughput at two parallelism levels -------------
     // Materialize the WAL once (parquet partitioned by epoch — the same
     // partition-pruned read path a real changelog table would give).
@@ -169,7 +222,10 @@ object Bench {
     // wall-clock budget for the rep loop: host noise windows can inflate a
     // rep 2-3x, and the min-estimator is already valid with 2 reps — stop
     // early rather than blow the round's bench budget
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "2100").toDouble
+    // (default lowered from 2100 in r3: the endurance section needs its
+    // share of the round's bench window; the min-estimator is already
+    // valid with 2 reps)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "1500").toDouble
     val repStart = System.nanoTime()
     val repBuf = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
     var r = 1
@@ -211,6 +267,23 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(walDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmWal))
 
+    // ---- 3. endurance: many epochs at 6x the events, maintenance live ---
+    // Evidence for the 10^10 claim beyond extrapolation: per-epoch merge
+    // cost and bytes/event must stay FLAT as the table grows (write amp
+    // O(batch)), with incremental hot-bucket folds bounding read amp.
+    val endurance: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_ENDURANCE").contains("0")) None
+      else {
+        val endEvents = sys.env.getOrElse("SPARK_GRAFT_END_EVENTS",
+          "100000000")
+        val endEpochs = sys.env.getOrElse("SPARK_GRAFT_END_EPOCHS", "32")
+        val endCpus = sys.env.getOrElse("SPARK_GRAFT_END_CPUS", "8")
+        System.err.println(s"[bench] endurance: $endEvents events / " +
+          s"$endEpochs epochs at local[$endCpus]")
+        childMain("graft.BenchEndurance",
+          Seq(endCpus, endEvents, endEpochs, "4", "8"), "ENDURANCE_JSON=")
+      }
+
     def jnum(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -222,13 +295,37 @@ object Bench {
       s""""scaling_efficiency":${jnum(efficiency)},""" +
       s""""scaling_efficiency_1v4":${jnum(eff14)},""" +
       s""""scaling_efficiency_2v8":${jnum(eff28)}}"""
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}"""
-    // the driver parses this line from stdout, but sbt appends its own
-    // [success] trailer after main returns (r1's BENCH json had
-    // "parsed": null) — ALSO persist it to a well-known file
+    val extras = annSection.map(a => s""","ann_crossover":$a""").getOrElse("") +
+      endurance.map(e => s""","endurance":$e""").getOrElse("")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc":$cdc$extras,"sf":"$sfDir"}"""
+    // the driver parses the LAST stdout line, but sbt appends its own
+    // "[success] Total time..." trailer after main returns (r1+r2 BENCH
+    // both had "parsed": null) — persist to a well-known file AND arrange
+    // for the JSON to be re-emitted as the true final stdout line. The
+    // forked JVM's stdout is a pipe sbt pumps (holding it open would
+    // deadlock sbt's EOF wait), so the helper (a) reopens the DRIVER's
+    // stdout via /proc/<sbt-pid>/fd/1 in append mode, (b) releases the
+    // fork's pipe immediately, (c) waits for the sbt JVM to exit — i.e.
+    // after its trailer — then cats the JSON there. Bounded poll (3 min)
+    // so a stuck sbt can never leak the helper.
     try Files.writeString(Paths.get("BENCH_LATEST.json"), jsonLine + "\n")
     catch { case _: Throwable => () }
     println(jsonLine)
+    try {
+      val f = Files.createTempFile("graft-bench-json", ".json")
+      Files.writeString(f, jsonLine + "\n")
+      val sbtPid = ProcessHandle.current().parent()
+        .map[Long](_.pid()).orElse(ProcessHandle.current().pid())
+      val script =
+        s"exec 9>>/proc/$sbtPid/fd/1 2>/dev/null || exit 0; exec 1>&-; " +
+          s"i=0; while kill -0 $sbtPid 2>/dev/null && " +
+          s"""[ "$$i" -lt 900 ]; do sleep 0.2; i=$$((i+1)); done; """ +
+          s"sleep 0.5; cat '$f' >&9; rm -f '$f'"
+      val pb = new ProcessBuilder("/bin/sh", "-c", script)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.start()
+    } catch { case _: Throwable => () }
 
     // best-effort human-readable report
     try {
@@ -257,6 +354,25 @@ object Bench {
       md.append(f"\nScaling efficiency (per-level minima): **N=1 vs 4N=4: ")
       md.append(f"$eff14%.3f**; N=2 vs 4N=8: $eff28%.3f ")
       md.append("(target ≥ 0.8 per BASELINE.json, primary pair 1v4).\n\n")
+      endurance.foreach { e =>
+        md.append("## Endurance: flat per-epoch cost as the table grows\n\n")
+        md.append("Many-epoch run with incremental maintenance live ")
+        md.append("(hot-bucket folds every 8 epochs, final full fold in the\n")
+        md.append("timed window; WAL generated/consumed in chunks, untimed). ")
+        md.append("The claim under test: per-epoch merge wall and\n")
+        md.append("bytes-written/event stay flat from the first quartile of ")
+        md.append("epochs to the last — write amplification O(batch),\n")
+        md.append("read amplification bounded by the delta-file cap.\n\n")
+        md.append(s"```json\n$e\n```\n\n")
+      }
+      annSection.foreach { a =>
+        md.append("## ANN crossover at |Q| ≥ 500\n\n")
+        md.append("The 5-query suite shape lets broadcast brute force win ")
+        md.append("(one cheap corpus stream); at a realistic query-set\n")
+        md.append("size the LSH path's sub-linear candidate set pays for its ")
+        md.append("banding overhead (recall pins unchanged in\n")
+        md.append(s"SimilaritySpec):\n\n```json\n$a\n```\n\n")
+      }
       md.append("Methodology notes (honest-measurement constraints of this\n")
       md.append("sandbox — no real multi-node cluster available):\n")
       md.append("- each measurement runs in a FRESH child JVM with a PINNED\n")
