@@ -362,7 +362,12 @@ object Bench {
         md.append("The claim under test: per-epoch merge wall and\n")
         md.append("bytes-written/event stay flat from the first quartile of ")
         md.append("epochs to the last — write amplification O(batch),\n")
-        md.append("read amplification bounded by the delta-file cap.\n\n")
+        md.append("read amplification bounded by the delta-file cap. ")
+        md.append("`events_per_sec` divides by the whole timed window\n")
+        md.append("(merges + folds) and is hostage to whichever host-noise ")
+        md.append("windows the single long run crosses (this box swings\n")
+        md.append("up to 4×); `events_per_sec_median_epoch` is the robust ")
+        md.append("per-epoch central estimate of sustained capability.\n\n")
         md.append(s"```json\n$e\n```\n\n")
       }
       annSection.foreach { a =>

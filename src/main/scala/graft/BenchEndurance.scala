@@ -129,6 +129,11 @@ object BenchEndurance {
       val q = math.max(1, epochs / 4)
       val firstQ = meanOf(all.take(q).map(_.mergeSec))
       val lastQ = meanOf(all.takeRight(q).map(_.mergeSec))
+      // robust per-epoch throughput: the host's delivered performance
+      // swings up to 4x across multi-minute windows (see BENCH.md), and a
+      // single long run cannot alternate-ladder around that — the MEDIAN
+      // epoch is the honest central estimate of sustained capability
+      val medianMerge = { val s = all.map(_.mergeSec).sorted; s(s.size / 2) }
       val bytesPerEventFirst =
         all.take(q).map(_.bytes).sum.toDouble / (q.toLong * cfg.epochSize)
       val bytesPerEventLast =
@@ -141,6 +146,7 @@ object BenchEndurance {
         f""""merge_sec":$mergeTotal%.1f,"maintenance_sec":$maintTotal%.1f,""" +
         f""""final_compact_sec":$finalCompactSec%.1f,"total_sec":$timedTotal%.1f,""" +
         f""""events_per_sec":${delivered / timedTotal}%.0f,""" +
+        f""""events_per_sec_median_epoch":${cfg.epochSize / medianMerge}%.0f,""" +
         f""""incremental_folds":$folds,""" +
         f""""epoch_merge_sec_first_quartile_mean":$firstQ%.2f,""" +
         f""""epoch_merge_sec_last_quartile_mean":$lastQ%.2f,""" +

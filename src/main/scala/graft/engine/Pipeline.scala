@@ -175,6 +175,34 @@ object Pipeline {
     PipelineReport(updates.result(), compactions)
   }
 
+  /** One epoch applied from a single delivered batch — the STREAMING form
+    * (StreamIngest.startPipeline's foreachBatch): Structured Streaming
+    * re-executes a failed batchId with identical content, so a domain is
+    * never more than one epoch behind and the affected-group set is the
+    * batch itself. A domain attached mid-stream (several epochs behind)
+    * must be caught up by the batch [[run]] first — the batch at hand no
+    * longer contains the missed epochs' affected groups. */
+  def applyEpochBatch(spark: SparkSession, batch: DataFrame,
+                      source: LakeTable, domains: Seq[DomainDef],
+                      tables: Map[String, LakeTable],
+                      epoch: Long): Seq[TableUpdate] = {
+    val updates = Seq.newBuilder[TableUpdate]
+    updates += TableUpdate("source", epoch,
+      MergeUpsert.mergeEpoch(spark, source, batch, epoch))
+    domains.foreach { d =>
+      val dTable = tables(d.name)
+      if (dTable.lastCommittedEpoch < epoch) {
+        require(dTable.lastCommittedEpoch >= epoch - 1,
+          s"domain ${d.name} is at epoch ${dTable.lastCommittedEpoch}, " +
+            s"more than one behind batch $epoch — catch it up with the " +
+            "batch Pipeline.run before streaming")
+        updates += TableUpdate(d.name, epoch,
+          updateDomain(spark, d, dTable, source, tables, batch, epoch))
+      } else updates += TableUpdate(d.name, epoch, None)
+    }
+    updates.result()
+  }
+
   /** One domain's epoch update: recompute affected groups from the merged
     * source state, tombstone vanished groups, merge as epoch `e`. */
   private def updateDomain(spark: SparkSession, d: DomainDef,

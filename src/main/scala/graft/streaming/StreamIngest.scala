@@ -66,4 +66,45 @@ object StreamIngest {
       }
       .start()
   }
+
+  /** The streaming form of the MULTI-TABLE pipeline: each micro-batch
+    * merges the source table AND updates every domain table in dependency
+    * order ([[graft.engine.Pipeline.applyEpochBatch]]), epoch = batchId.
+    * Exactly-once composes per TABLE: a crash between domain commits
+    * re-executes the whole batchId, and each table's lineage registry
+    * skips its already-committed (table, epoch) pairs — the same
+    * mid-pipeline resume the batch Replayer gets from the min-watermark
+    * restart, here provided by Structured Streaming's deterministic
+    * re-delivery. `compactEvery` folds hot buckets of ALL tables every k
+    * batches (incremental, O(hot buckets)). */
+  def startPipeline(spark: SparkSession, walDir: String, schema: StructType,
+                    source: LakeTable,
+                    domains: Seq[graft.engine.Pipeline.DomainDef],
+                    tables: Map[String, LakeTable], checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    maxFilesPerTrigger: Option[Int] = None,
+                    compactEvery: Int = 0): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+      .parquet(walDir)
+    src.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ups = graft.engine.Pipeline.applyEpochBatch(
+          batch.sparkSession, batch, source, domains, tables, batchId)
+        ups.foreach(u => u.result.foreach(res =>
+          if (!res.committed) throw new IllegalStateException(
+            s"batch $batchId table ${u.table} merged but failed to " +
+              "commit — failing the batch for re-execution")))
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          val all = source +: domains.map(d => tables(d.name))
+          all.foreach(t => graft.lake.Maintenance.compactHotBuckets(
+            batch.sparkSession, t, minDeltaFiles = compactEvery))
+        }
+        ()
+      }
+      .start()
+  }
 }

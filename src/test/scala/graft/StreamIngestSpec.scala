@@ -68,6 +68,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracleDigest(cfg))
   }
 
+  test("streaming multi-table pipeline: every domain table converges; " +
+      "restart resumes mid-stream") {
+    import graft.engine.Pipeline
+    import graft.oracle.DomainOracle
+    val wal = tmpDir("pwal"); val ckpt = tmpDir("pckpt")
+    val source = new LakeTable(tmpDir("plake"), 8)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pdom"), domains, 4)
+
+    // first tranche, bounded batches → several pipeline epochs
+    writeWal(wal, cfg, 0, 2000)
+    StreamIngest.startPipeline(spark, wal, walSchema, source, domains,
+      tables, ckpt, maxFilesPerTrigger = Some(2), compactEvery = 2)
+      .awaitTermination()
+    // second tranche; a NEW query on the SAME checkpoint resumes
+    writeWal(wal, cfg, 2000, cfg.numEvents)
+    StreamIngest.startPipeline(spark, wal, walSchema, source, domains,
+      tables, ckpt, maxFilesPerTrigger = Some(2), compactEvery = 2)
+      .awaitTermination()
+
+    assert(FoldOracle.digestOfTable(source.snapshot(spark)) == oracleDigest(cfg))
+    val st = FoldOracle.expectedState(cfg)
+    def lines(name: String, cols: String*): Seq[String] =
+      tables(name).snapshot(spark).select(cols.map(col): _*).collect()
+        .map(r => (0 until r.length).map(i =>
+          Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString("|"))
+        .toSeq.sorted
+    assert(lines("person", "person_source_value", "n_paths", "n_langs",
+      "langs", "first_path", "modified_seq") == DomainOracle.personLines(st))
+    assert(lines("visit_occurrence", "repo", "path", "commit", "source_seq",
+      "preceding_commit") == DomainOracle.visitLines(st))
+    assert(lines("condition_occurrence", "repo", "condition_group",
+      "start_seq", "end_seq", "updt_seq", "n_occurrences")
+      == DomainOracle.conditionLines(st))
+    assert(lines("drug_exposure", "repo", "path", "exposure_concept",
+      "source_seq", "content_len") == DomainOracle.drugLines(st))
+    assert(lines("measurement", "repo", "path", "measurement_concept",
+      "value_source_value", "repo_n_langs") == DomainOracle.measurementLines(st))
+  }
+
   test("re-running a fully-drained stream with a fresh checkpoint is a harmless replay") {
     val wal = tmpDir("wal")
     val table = new LakeTable(tmpDir("lake"), 8)
