@@ -209,7 +209,19 @@ object Pipeline {
                            dTable: LakeTable, source: LakeTable,
                            tables: Map[String, LakeTable],
                            affectedEvents: DataFrame,
-                           e: Long): Option[MergeUpsert.MergeResult] = {
+                           e: Long): Option[MergeUpsert.MergeResult] =
+    MergeUpsert.mergeEpoch(spark, dTable,
+      domainBatchPlan(spark, d, dTable, source, tables, affectedEvents, e), e)
+
+  /** The (lazy) domain-update batch for epoch `e` — exposed separately
+    * from the merge so its physical plan is assertable in PlanSpec: both
+    * restrictions MUST be broadcast semi-joins on the affected-group set
+    * (never a shuffle of the source or domain table). */
+  private[graft] def domainBatchPlan(spark: SparkSession, d: DomainDef,
+                           dTable: LakeTable, source: LakeTable,
+                           tables: Map[String, LakeTable],
+                           affectedEvents: DataFrame,
+                           e: Long): DataFrame = {
     val groupNames = d.groupExprs.map(_._1)
     val aff = affectedEvents
       .select(d.groupExprs.map { case (n, ex) => ex.as(n) }: _*).distinct()
@@ -244,8 +256,7 @@ object Pipeline {
     val batch = fresh.withColumn("op", lit("U"))
       .unionByName(dels.withColumn("op", lit("D")), allowMissingColumns = true)
     val withOrd0 = batch.withColumn("seq", lit(e))
-    val withOrd = if (withOrd0.columns.contains("commit")) withOrd0
-      else withOrd0.withColumn("commit", lit(""))
-    MergeUpsert.mergeEpoch(spark, dTable, withOrd, e)
+    if (withOrd0.columns.contains("commit")) withOrd0
+    else withOrd0.withColumn("commit", lit(""))
   }
 }

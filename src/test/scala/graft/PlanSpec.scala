@@ -106,6 +106,34 @@ class PlanSpec extends SparkSpec {
       "band join should broadcast the small query side:\n" + p)
   }
 
+  test("pipeline domain update restricts via BROADCAST semi-joins — the " +
+      "source and domain tables are never shuffled to find affected groups") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Pipeline, Replayer}
+    import graft.lake.LakeTable
+    val source = new LakeTable(tmpDir("plan-src"), 4)
+    val events = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(numEvents = 400, epochSize = 200)).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 0)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("plan-dom"), domains, 2)
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 0)
+    // epoch-1 update plan for condition (derived group key, non-key group)
+    val d = domains.find(_.name == "condition_occurrence").get
+    val batch = Pipeline.domainBatchPlan(spark, d,
+      tables(d.name), source, tables, events.filter(col("epoch") === 1), 1L)
+    val p = batch.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size >= 2,
+      "both the source-snapshot and domain-table restrictions must be " +
+        "broadcast semi-joins:\n" + p)
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "tombstone detection (affected keys EXCEPT recomputed) must " +
+        "broadcast too:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("j2 left enrichment broadcasts the dimension side") {
     val p = plan("j2_left_enrich")
     assert(p.contains("BroadcastHashJoin"), p)
