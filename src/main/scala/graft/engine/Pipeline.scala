@@ -146,17 +146,23 @@ object Pipeline {
       val srcRes = MergeUpsert.mergeEpoch(spark, source, batch, e)
       updates += TableUpdate("source", e, srcRes)
 
-      domains.foreach { d =>
+      // materialize the post-merge source snapshot ONCE per epoch: every
+      // domain restricts the same live state, and without the cache each
+      // would re-run the merge-on-read collapse (5x the scans and
+      // shuffles of the epoch's dominant cost at scale)
+      val snap = source.snapshot(spark)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try domains.foreach { d =>
         val dTable = tables(d.name)
         if (dTable.lastCommittedEpoch < e) {
           // catch-up form: a domain that fell behind unions the affected
           // groups of every missed epoch into one recomputation
           val missed = events.filter(col("epoch") > dTable.lastCommittedEpoch
             && col("epoch") <= e)
-          val res = updateDomain(spark, d, dTable, source, tables, missed, e)
+          val res = updateDomain(spark, d, dTable, snap, tables, missed, e)
           updates += TableUpdate(d.name, e, res)
         } else updates += TableUpdate(d.name, e, None)
-      }
+      } finally snap.unpersist(blocking = false)
 
       sinceCompact += 1
       if (compactEvery > 0 && sinceCompact >= compactEvery && e < stop) {
@@ -189,7 +195,9 @@ object Pipeline {
     val updates = Seq.newBuilder[TableUpdate]
     updates += TableUpdate("source", epoch,
       MergeUpsert.mergeEpoch(spark, source, batch, epoch))
-    domains.foreach { d =>
+    val snap = source.snapshot(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try domains.foreach { d =>
       val dTable = tables(d.name)
       if (dTable.lastCommittedEpoch < epoch) {
         require(dTable.lastCommittedEpoch >= epoch - 1,
@@ -197,28 +205,28 @@ object Pipeline {
             s"more than one behind batch $epoch — catch it up with the " +
             "batch Pipeline.run before streaming")
         updates += TableUpdate(d.name, epoch,
-          updateDomain(spark, d, dTable, source, tables, batch, epoch))
+          updateDomain(spark, d, dTable, snap, tables, batch, epoch))
       } else updates += TableUpdate(d.name, epoch, None)
-    }
+    } finally snap.unpersist(blocking = false)
     updates.result()
   }
 
   /** One domain's epoch update: recompute affected groups from the merged
     * source state, tombstone vanished groups, merge as epoch `e`. */
   private def updateDomain(spark: SparkSession, d: DomainDef,
-                           dTable: LakeTable, source: LakeTable,
+                           dTable: LakeTable, snap: DataFrame,
                            tables: Map[String, LakeTable],
                            affectedEvents: DataFrame,
                            e: Long): Option[MergeUpsert.MergeResult] =
     MergeUpsert.mergeEpoch(spark, dTable,
-      domainBatchPlan(spark, d, dTable, source, tables, affectedEvents, e), e)
+      domainBatchPlan(spark, d, dTable, snap, tables, affectedEvents, e), e)
 
   /** The (lazy) domain-update batch for epoch `e` — exposed separately
     * from the merge so its physical plan is assertable in PlanSpec: both
     * restrictions MUST be broadcast semi-joins on the affected-group set
     * (never a shuffle of the source or domain table). */
   private[graft] def domainBatchPlan(spark: SparkSession, d: DomainDef,
-                           dTable: LakeTable, source: LakeTable,
+                           dTable: LakeTable, snap: DataFrame,
                            tables: Map[String, LakeTable],
                            affectedEvents: DataFrame,
                            e: Long): DataFrame = {
@@ -226,8 +234,8 @@ object Pipeline {
     val aff = affectedEvents
       .select(d.groupExprs.map { case (n, ex) => ex.as(n) }: _*).distinct()
 
-    // source rows of the affected groups only (broadcast semi-join)
-    val snap = source.snapshot(spark)
+    // source rows of the affected groups only (broadcast semi-join over
+    // the caller's per-epoch materialized snapshot)
     val snapRestricted = snap
       .withColumns(d.groupExprs.toMap)
       .join(broadcast(aff), groupNames, "left_semi")

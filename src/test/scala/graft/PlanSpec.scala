@@ -120,8 +120,8 @@ class PlanSpec extends SparkSpec {
     Pipeline.run(spark, events, source, domains, tables, maxEpoch = 0)
     // epoch-1 update plan for condition (derived group key, non-key group)
     val d = domains.find(_.name == "condition_occurrence").get
-    val batch = Pipeline.domainBatchPlan(spark, d,
-      tables(d.name), source, tables, events.filter(col("epoch") === 1), 1L)
+    val batch = Pipeline.domainBatchPlan(spark, d, tables(d.name),
+      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L)
     val p = batch.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size >= 2,
