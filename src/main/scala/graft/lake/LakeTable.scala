@@ -270,41 +270,69 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
   def readRaw(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame =
     currentManifest match {
       case None => spark.emptyDataFrame
-      case Some(m) =>
-        val files = buckets match {
-          case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
-          case None => m.files
-        }
-        if (files.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        else
-          canonicalize(m,
-            spark.read.schema(physicalSchema(m)).parquet(files.map(_.path): _*))
+      case Some(m) => readRawFrom(spark, m, buckets)
     }
+
+  private def readRawFrom(spark: SparkSession, m: Manifest,
+                          buckets: Option[Set[Int]]): DataFrame = {
+    val files = buckets match {
+      case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
+      case None => m.files
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      canonicalize(m,
+        spark.read.schema(physicalSchema(m)).parquet(files.map(_.path): _*))
+  }
+
+  private def readFrom(spark: SparkSession, m: Manifest,
+                       buckets: Option[Set[Int]]): DataFrame = {
+    val raw = readRawFrom(spark, m, buckets)
+    if (m.deltaFiles.isEmpty || raw.columns.isEmpty) raw
+    else MergeUpsert.latestPerKey(raw, Seq("updated_seq", "commit"), m.keyCols)
+  }
 
   /** Current snapshot, merge-on-read: base ∪ deltas collapsed to the
     * winning row per key by (updated_seq, commit). Includes tombstone rows
     * (`__deleted = true`). When no deltas exist (just compacted) the base
     * already holds exactly one row per key and the collapse is skipped —
     * post-compaction reads pay zero aggregation. */
-  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
-    val raw = readRaw(spark, buckets)
-    val hasDeltas = currentManifest.exists(_.deltaFiles.nonEmpty)
-    if (!hasDeltas || raw.columns.isEmpty) raw
-    else MergeUpsert.latestPerKey(raw, Seq("updated_seq", "commit"), keyCols)
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame =
+    currentManifest match {
+      case None => spark.emptyDataFrame
+      case Some(m) => readFrom(spark, m, buckets)
+    }
+
+  /** TIME TRAVEL: the merged view as of manifest `version`. Every commit
+    * is an immutable snapshot (data files are never mutated, only added),
+    * so reading an old manifest reproduces the table exactly as it stood
+    * then — bounded by vacuum's `retainVersions` floor, which deletes
+    * both old manifests and the files only they reference. Throws if the
+    * version has been vacuumed away. */
+  def readAt(spark: SparkSession, version: Long,
+             buckets: Option[Set[Int]] = None): DataFrame = {
+    require(Files.exists(versionPath(version)),
+      s"version $version of $root does not exist (never committed, or " +
+        "vacuumed past the retention floor)")
+    readFrom(spark, readManifest(version), buckets)
   }
+
+  private def live(df: DataFrame): DataFrame =
+    if (df.columns.contains("__deleted"))
+      df.filter(!col("__deleted")).drop("__deleted")
+    else df
 
   /** Live snapshot: merged rows minus delete tombstones. Tombstones are
     * retained physically (column `__deleted`) so a re-delivered pre-delete
     * event can never resurrect a deleted key — the CDC tombstone rule; the
     * event-time watermark only gates their GC (SURVEY.md §2.9 C5). */
-  def snapshot(spark: SparkSession): DataFrame = {
-    val df = read(spark)
-    if (df.columns.contains("__deleted"))
-      df.filter(!col("__deleted")).drop("__deleted")
-    else df
-  }
+  def snapshot(spark: SparkSession): DataFrame = live(read(spark))
+
+  /** Live snapshot as of manifest `version` ([[readAt]] time travel). */
+  def snapshotAt(spark: SparkSession, version: Long): DataFrame =
+    live(readAt(spark, version))
 
   def lastCommittedEpoch: Long = currentManifest.map(_.epochWatermark).getOrElse(-1L)
   def lastSeq: Long = currentManifest.map(_.lastSeq).getOrElse(-1L)

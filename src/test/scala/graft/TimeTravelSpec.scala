@@ -1,0 +1,62 @@
+package graft
+
+import graft.engine.Replayer
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.{LakeTable, Maintenance}
+import graft.oracle.FoldOracle
+
+/** Bounded time travel over the manifest log: every commit is an immutable
+  * snapshot, so `snapshotAt(version)` reproduces the table exactly as of
+  * that commit — until vacuum's retention floor reclaims the manifests and
+  * the files only they reference. */
+class TimeTravelSpec extends SparkSpec {
+
+  private val cfg = GenConfig(seed = 17L, numEvents = 3000L, numRepos = 12,
+    pathsPerRepo = 40, epochSize = 500L)
+
+  private def digestUpToEpoch(k: Long): String =
+    FoldOracle.digestOfState(FoldOracle.expectedState(
+      (0L until math.min(cfg.numEvents, (k + 1) * cfg.epochSize))
+        .map(ChangeGen.eventAt(cfg, _))))
+
+  test("snapshotAt(version) reproduces the state as of each epoch's commit") {
+    val table = new LakeTable(tmpDir("tt"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    val versionAfter = (0L to 5L).map { e =>
+      Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(e))
+      e -> table.currentVersion
+    }.toMap
+    // every historical epoch state remains addressable and exact
+    (0L to 5L).foreach { e =>
+      assert(FoldOracle.digestOfTable(
+        table.snapshotAt(spark, versionAfter(e))) == digestUpToEpoch(e),
+        s"epoch $e via version ${versionAfter(e)}")
+    }
+  }
+
+  test("compaction does not disturb history; vacuum bounds it") {
+    val table = new LakeTable(tmpDir("tt-vac"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(2))
+    val vMid = table.currentVersion
+    val midDigest = FoldOracle.digestOfTable(table.snapshotAt(spark, vMid))
+    Replayer.run(spark, events, table, maxEpoch = 5)
+    Maintenance.compact(spark, table)
+    // the compacted head is a NEW snapshot; vMid still reads the old files
+    assert(FoldOracle.digestOfTable(table.snapshotAt(spark, vMid)) == midDigest)
+    val head = FoldOracle.digestOfTable(table.snapshot(spark))
+
+    // vacuum to the current version only: old manifests drop, and the
+    // files only they referenced are reclaimed — time travel is bounded
+    val vr = Maintenance.vacuum(table, retainVersions = 1, graceMillis = 0L)
+    assert(vr.manifestsDropped > 0)
+    assert(vr.filesDeleted > 0, "pre-compaction files must be reclaimed")
+    val ex = intercept[IllegalArgumentException] {
+      table.snapshotAt(spark, vMid)
+    }
+    assert(ex.getMessage.contains("vacuumed") ||
+      ex.getMessage.contains("does not exist"))
+    assert(FoldOracle.digestOfTable(table.snapshot(spark)) == head,
+      "the retained head must be unaffected")
+  }
+}
