@@ -334,6 +334,45 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
   def snapshotAt(spark: SparkSession, version: Long): DataFrame =
     live(readAt(spark, version))
 
+  /** CDC-OUT: the table read as a CHANGE STREAM — every row version
+    * committed after manifest `fromVersion`, i.e. the per-epoch winner
+    * rows (upserts AND `__deleted` tombstones) of every delta commit in
+    * `(fromVersion, head]`. A downstream consumer holding `snapshotAt
+    * (fromVersion)` reaches the head snapshot by folding these changes
+    * with the same latest-wins collapse the engine uses — the contract
+    * [[graft.TimeTravelSpec]] pins by digest.
+    *
+    * Implementation walks the manifest log and takes each version's
+    * NEWLY-ADDED delta-tier files (compaction commits add only base
+    * files and represent no logical change; a delta file later folded
+    * away by compaction still belongs to the interval's change set and
+    * remains on disk while its manifest is retained). Bounded like time
+    * travel: vacuum's `retainVersions` floor reclaims old manifests and
+    * the files only they reference; renames are normalized against the
+    * HEAD manifest, so consume the stream before a full compaction
+    * clears a pending rename mapping. */
+  def changesSince(spark: SparkSession, fromVersion: Long): DataFrame = {
+    val head = currentVersion
+    require(head > 0, s"$root has no commits")
+    require(Files.exists(versionPath(fromVersion)),
+      s"version $fromVersion of $root does not exist (never committed, " +
+        "or vacuumed past the retention floor)")
+    val headM = readManifest(head)
+    var prev = readManifest(fromVersion).files.map(_.path).toSet
+    val changeFiles = ((fromVersion + 1) to head).flatMap { v =>
+      val m = readManifest(v)
+      val added = m.files.filter(f => f.tier == "delta" && !prev.contains(f.path))
+      prev = m.files.map(_.path).toSet
+      added
+    }
+    if (changeFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], headM.schema)
+    else
+      canonicalize(headM, spark.read.schema(physicalSchema(headM))
+        .parquet(changeFiles.map(_.path): _*))
+  }
+
   def lastCommittedEpoch: Long = currentManifest.map(_.epochWatermark).getOrElse(-1L)
   def lastSeq: Long = currentManifest.map(_.lastSeq).getOrElse(-1L)
 

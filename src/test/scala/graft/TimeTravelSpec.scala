@@ -34,6 +34,32 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("changesSince: old snapshot + change stream folds to the head snapshot") {
+    import org.apache.spark.sql.functions._
+    val table = new LakeTable(tmpDir("tt-cdc"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(2))
+    val vMid = table.currentVersion
+    // continue INCLUDING a mid-run compaction — compaction commits must
+    // contribute no rows to the change stream, and delta files it folds
+    // away must still be readable as changes
+    Replayer.run(spark, events, table, maxEpoch = 4, compactEvery = 2)
+    Replayer.run(spark, events, table, maxEpoch = 5)
+    val changes = table.changesSince(spark, vMid)
+    assert(changes.count() > 0)
+    // the consumer contract: fold the changes over the old snapshot with
+    // the engine's own latest-wins collapse → exactly the head snapshot
+    val old = table.readAt(spark, vMid)
+    val folded = graft.lake.MergeUpsert.latestPerKey(
+      old.unionByName(changes, allowMissingColumns = true),
+      Seq("updated_seq", "commit"), table.keyCols)
+      .filter(!col("__deleted")).drop("__deleted")
+    assert(FoldOracle.digestOfTable(folded) ==
+      FoldOracle.digestOfTable(table.snapshot(spark)))
+    // and a no-op interval is empty
+    assert(table.changesSince(spark, table.currentVersion).count() == 0)
+  }
+
   test("compaction does not disturb history; vacuum bounds it") {
     val table = new LakeTable(tmpDir("tt-vac"), 4)
     val events = ChangeGen.stream(spark, cfg).toDF()
