@@ -26,8 +26,8 @@ class PipelineSpec extends SparkSpec {
       .map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString("|"))
       .toSeq.sorted
 
-  private def assertDomains(tables: Map[String, LakeTable]): Unit = {
-    val st = oracleState
+  private def assertDomains(tables: Map[String, LakeTable],
+                            st: Map[(String, String), FoldOracle.State]): Unit = {
     assert(lines(tables("person").snapshot(spark), "person_source_value",
       "n_paths", "n_langs", "langs", "first_path", "modified_seq")
       == DomainOracle.personLines(st), "person")
@@ -66,7 +66,7 @@ class PipelineSpec extends SparkSpec {
       assert(t.currentManifest.get.deltaFiles.isEmpty, t.root))
     assert(FoldOracle.digestOfTable(source.snapshot(spark)) ==
       FoldOracle.digestOfState(oracleState))
-    assertDomains(tables)
+    assertDomains(tables, oracleState)
   }
 
   test("crash mid-pipeline (between domain commits) resumes to the same state") {
@@ -96,7 +96,7 @@ class PipelineSpec extends SparkSpec {
     assert(resumed.applied("source") == (4L to 5L))
     assert(resumed.applied("person") == (4L to 5L))
     assert(resumed.applied("visit_occurrence") == (3L to 5L))
-    assertDomains(tables)
+    assertDomains(tables, oracleState)
   }
 
   test("domains catch up when the source table ran ahead") {
@@ -112,7 +112,64 @@ class PipelineSpec extends SparkSpec {
       maxEpoch = 5)
     assert(report.applied("source").isEmpty, "source already done")
     domains.foreach(d => assert(report.applied(d.name) == (2L to 5L), d.name))
-    assertDomains(tables)
+    assertDomains(tables, oracleState)
+  }
+
+  test("pipeline equals the domain oracles for adversarial generator configs") {
+    val configs = Seq(
+      // delete-heavy churn over a tiny keyspace with re-delivery: groups
+      // vanish and reappear constantly (tombstone path torture)
+      GenConfig(seed = 404L, numEvents = 1200, numRepos = 3, pathsPerRepo = 6,
+        epochSize = 300, pctInsert = 25, pctUpdate = 35, pctDelete = 40,
+        duplicateRate = 150),
+      // 40% of events on ONE (repo, path): the hot group recomputes every
+      // epoch and must stay exact
+      GenConfig(seed = 505L, numEvents = 1600, numRepos = 30, pathsPerRepo = 4,
+        epochSize = 400, pctInsert = 60, pctUpdate = 30, pctDelete = 10,
+        hotKeyPct = 40))
+    configs.foreach { c =>
+      val source = new LakeTable(tmpDir("pipe-prop-src"), 4)
+      val domains = Pipeline.omopDomains(spark)
+      val tables = Pipeline.openDomainTables(tmpDir("pipe-prop-dom"), domains, 2)
+      val maxEpoch = (c.numEvents - 1) / c.epochSize
+      Pipeline.run(spark, ChangeGen.stream(spark, c).toDF(), source, domains,
+        tables, maxEpoch)
+      assertDomains(tables, FoldOracle.expectedState(c.copy(duplicateRate = 0)))
+    }
+  }
+
+  test("source schema evolution mid-run flows through the pipeline") {
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("pipe-evo-src"), 4)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pipe-evo-dom"), domains, 2)
+    val v1 = Seq(
+      (0L, 0L, "I", "r1", "src/a/x.scala", "c0", "scala", "b0", 1),
+      (1L, 0L, "I", "r1", "src/a/y.java", "c1", "java", "b1", 1)
+    ).toDF("seq", "epoch", "op", "repo", "path", "commit", "lang", "content",
+      "schemaVersion")
+    // epoch 1 adds a `branch` column (the reference's observed drift)
+    val v2 = Seq(
+      (2L, 1L, "U", "r1", "src/a/x.scala", "c2", "scala", "b2", 2, "main"),
+      (3L, 1L, "I", "r2", "src/b/z.go", "c3", "go", "b3", 2, "dev")
+    ).toDF("seq", "epoch", "op", "repo", "path", "commit", "lang", "content",
+      "schemaVersion", "branch")
+    val events = v1.unionByName(v2, allowMissingColumns = true)
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 1)
+    // the evolved column lands in the source table; pre-evolution rows NULL
+    val m = source.currentManifest.get
+    assert(m.schema.fieldNames.contains("branch"))
+    val src = source.snapshot(spark).select("path", "branch").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(src == Map("src/a/x.scala" -> Some("main"),
+      "src/a/y.java" -> None, "src/b/z.go" -> Some("dev")))
+    // domain tables are unaffected by source columns they do not project
+    val persons = tables("person").snapshot(spark)
+      .select("person_source_value", "n_paths").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(persons == Map("r1" -> 2L, "r2" -> 1L))
+    assert(!tables("person").currentManifest.get.schema.fieldNames
+      .contains("branch"))
   }
 
   test("deleting a repo's last path tombstones its derived person row") {
