@@ -251,8 +251,20 @@ object Pipeline {
       fresh0.withColumnRenamed("updated_seq", "source_seq") else fresh0
 
     // groups that vanished: previously-present domain keys of affected
-    // groups with no recomputed row → delete tombstones
-    val existing = dTable.snapshot(spark)
+    // groups with no recomputed row → delete tombstones. When the group
+    // key IS the table's merge key (person, condition, drug), the
+    // affected rows can only live in the buckets the group keys hash to —
+    // collect those few bucket IDs (a tiny distinct-project job, at most
+    // numBuckets values) and scan ONLY them: the tombstone probe then
+    // reads O(|affected buckets| / numBuckets) of the domain table
+    // instead of all of it.
+    val prunedBuckets: Option[Set[Int]] =
+      if (groupNames == dTable.keyCols && dTable.currentManifest.isDefined) {
+        val nb = dTable.numBuckets
+        Some(aff.select(MergeUpsert.bucketOf(nb, groupNames).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet)
+      } else None
+    val existing = dTable.snapshot(spark, prunedBuckets)
     val dels =
       if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
       else existing.join(broadcast(aff), groupNames, "left_semi")

@@ -327,8 +327,13 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
   /** Live snapshot: merged rows minus delete tombstones. Tombstones are
     * retained physically (column `__deleted`) so a re-delivered pre-delete
     * event can never resurrect a deleted key — the CDC tombstone rule; the
-    * event-time watermark only gates their GC (SURVEY.md §2.9 C5). */
-  def snapshot(spark: SparkSession): DataFrame = live(read(spark))
+    * event-time watermark only gates their GC (SURVEY.md §2.9 C5).
+    * `buckets` prunes the scan to the named buckets — safe for any
+    * key-restricted consumer because a key's every row version hashes to
+    * exactly one bucket. */
+  def snapshot(spark: SparkSession,
+               buckets: Option[Set[Int]] = None): DataFrame =
+    live(read(spark, buckets))
 
   /** Live snapshot as of manifest `version` ([[readAt]] time travel). */
   def snapshotAt(spark: SparkSession, version: Long): DataFrame =

@@ -134,6 +134,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tombstone probe bucket-prunes the domain table when group key == merge key") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Pipeline
+    import graft.lake.LakeTable
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    // epoch 0 spreads 16 repos over the person table's 8 buckets
+    val e0 = (0 until 16).map(i => ChangeEvent(i.toLong, 0L, "I", s"repo-$i",
+      s"src/a/f$i.scala", s"c$i", "scala", s"b$i", 1))
+    // epoch 1 touches ONE repo
+    val e1 = Seq(ChangeEvent(16L, 1L, "U", "repo-3", "src/a/f3.scala",
+      "c16", "scala", "b16", 1))
+    val source = new LakeTable(tmpDir("prune-src"), 4)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("prune-dom"), domains, 8)
+    val events = (e0 ++ e1).toDF()
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 0)
+    val person = domains.find(_.name == "person").get
+    val pTable = tables("person")
+    val allPersonFiles = pTable.currentManifest.get.files.map(_.path).toSet
+    assert(allPersonFiles.size >= 4, "need multiple buckets to prune across")
+    val batch = Pipeline.domainBatchPlan(spark, person, pTable,
+      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L)
+    val readPersonFiles = batch.inputFiles.toSet
+      .map((p: String) => new java.net.URI(p).getPath)
+      .filter(allPersonFiles.contains)
+    assert(readPersonFiles.nonEmpty, "the tombstone probe must read the bucket")
+    assert(readPersonFiles.size < allPersonFiles.size,
+      s"expected a pruned scan, read all ${allPersonFiles.size} files")
+    assert(readPersonFiles.map(f =>
+      "bucket=\\d+".r.findFirstIn(f).get).size == 1,
+      s"all files read must come from the single affected bucket: $readPersonFiles")
+  }
+
   test("j2 left enrichment broadcasts the dimension side") {
     val p = plan("j2_left_enrich")
     assert(p.contains("BroadcastHashJoin"), p)
