@@ -63,7 +63,11 @@ final case class Manifest(
     keyCols: Seq[String],     // the table's merge key (a TABLE property)
     renames: Map[String, Seq[String]], // canonical col -> former names (newest first)
     files: Seq[ManifestFile],
-    lineage: Map[String, String] // per-commit metrics: events, conflicts, bytes, ...
+    lineage: Map[String, String], // per-commit metrics: events, conflicts, bytes, ...
+    lineageEpochFloor: Long = 0L  // epochs below this were truncated from
+                                  // `lineage`; ascending-contiguous commit
+                                  // order proves them committed (full
+                                  // history survives in old manifests)
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def baseFiles: Seq[ManifestFile] = files.filter(_.tier == "base")
@@ -145,7 +149,9 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
           Option(f.get("tier")).map(_.asText()).getOrElse("base"))
       }.toSeq,
       lineage = node.get("lineage").properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap
+        .map(e => e.getKey -> e.getValue.asText()).toMap,
+      lineageEpochFloor = Option(node.get("lineageEpochFloor"))
+        .map(_.asLong()).getOrElse(0L)
     )
     require(m.bucketFn == LakeTable.BucketFn,
       s"table $root was written with bucket function '${m.bucketFn}' but " +
@@ -180,6 +186,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     }
     val lin = node.putObject("lineage")
     m.lineage.foreach { case (k, v) => lin.put(k, v) }
+    node.put("lineageEpochFloor", m.lineageEpochFloor)
 
     val tmp = Files.createTempFile(logDir, ".tmp-manifest", ".json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))

@@ -76,6 +76,40 @@ object MergeUpsert {
       .select(col("__w.*"))
   }
 
+  /** Cap on lineage entries carried in the HEAD manifest. Without a bound
+    * the per-epoch metrics map is rewritten into every manifest — O(epochs²)
+    * total manifest I/O by 10^5 epochs. Overridable for tests via
+    * `-Dgraft.lineage.cap=N`. Full history is never lost: each retained
+    * old manifest still carries the lineage as of its commit. */
+  def lineageCap: Int =
+    sys.props.get("graft.lineage.cap").map(_.toInt).getOrElse(4096)
+
+  /** Drop the OLDEST epoch entries (then, if ever needed, the oldest
+    * maintenance entries) until `lineage` fits `cap`, advancing the epoch
+    * floor over the contiguously-dropped range. Epochs below the returned
+    * floor are provably committed: commits are ascending-contiguous, so a
+    * truncated entry was committed before every retained one. */
+  private[graft] def truncateLineage(lineage: Map[String, String],
+      floor: Long, cap: Int): (Map[String, String], Long) = {
+    if (lineage.size <= cap) return (lineage, floor)
+    val epochKeys = lineage.keys
+      .collect { case k if k.startsWith("epoch_") =>
+        (k, k.stripPrefix("epoch_").toLong) }
+      .toSeq.sortBy(_._2)
+    var lin = lineage
+    var fl = floor
+    epochKeys.take(lineage.size - cap).foreach { case (k, e) =>
+      lin -= k; fl = math.max(fl, e + 1)
+    }
+    if (lin.size > cap) { // epoch entries alone didn't cover the excess
+      val maint = lin.keys.filterNot(_.startsWith("epoch_"))
+        .map(k => (k, k.split("_v").last.toLongOption.getOrElse(Long.MaxValue)))
+        .toSeq.sortBy(_._2)
+      maint.take(lin.size - cap).foreach { case (k, _) => lin -= k }
+    }
+    (lin, fl)
+  }
+
   final case class MergeResult(
       committed: Boolean,
       version: Long,
@@ -114,8 +148,11 @@ object MergeUpsert {
     val watermark = current.map(_.epochWatermark).getOrElse(-1L)
     if (epoch <= watermark) {
       // duplicate delivery of a committed epoch → exactly-once no-op; an
-      // epoch BELOW the watermark that never committed is an ordering bug
-      if (current.exists(_.lineage.contains(s"epoch_$epoch"))) return None
+      // epoch BELOW the watermark that never committed is an ordering bug.
+      // Epochs below the lineage floor were truncated from the registry
+      // but are provably committed (ascending-contiguous commit order).
+      if (current.exists(m => epoch < m.lineageEpochFloor ||
+          m.lineage.contains(s"epoch_$epoch"))) return None
       throw new IllegalStateException(
         s"mergeEpoch($epoch): table watermark is already $watermark but " +
           s"epoch $epoch was never committed — a later epoch overtook it " +
@@ -216,17 +253,23 @@ object MergeUpsert {
     def lineageEntry = s"epoch_$epoch" -> (s"events=$events keys=$rowsWritten " +
       s"collapsed=${math.max(0L, events - rowsWritten)} deletes=$deletes " +
       s"rows=$rowsWritten bytes=$bytesWritten buckets=$bucketsTouched")
-    def buildManifest(m: Option[Manifest]): Manifest = Manifest(
-      version = m.map(_.version).getOrElse(0L) + 1,
-      epochWatermark = epoch,
-      lastSeq = math.max(m.map(_.lastSeq).getOrElse(-1L), maxSeq),
-      schemaJson = evolvedSchemaJson(m),
-      numBuckets = nb,
-      bucketFn = LakeTable.BucketFn,
-      keyCols = kc,
-      renames = m.map(_.renames).getOrElse(Map.empty),
-      files = m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-      lineage = m.map(_.lineage).getOrElse(Map.empty) + lineageEntry)
+    def buildManifest(m: Option[Manifest]): Manifest = {
+      val (lin, linFloor) = truncateLineage(
+        m.map(_.lineage).getOrElse(Map.empty) + lineageEntry,
+        m.map(_.lineageEpochFloor).getOrElse(0L), lineageCap)
+      Manifest(
+        version = m.map(_.version).getOrElse(0L) + 1,
+        epochWatermark = epoch,
+        lastSeq = math.max(m.map(_.lastSeq).getOrElse(-1L), maxSeq),
+        schemaJson = evolvedSchemaJson(m),
+        numBuckets = nb,
+        bucketFn = LakeTable.BucketFn,
+        keyCols = kc,
+        renames = m.map(_.renames).getOrElse(Map.empty),
+        files = m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+        lineage = lin,
+        lineageEpochFloor = linFloor)
+    }
 
     // 4. CAS commit with re-base on loss: delta files are immutable and
     //    independent of concurrent commits, so losing the version slot
@@ -244,7 +287,8 @@ object MergeUpsert {
       // same epoch applied by a concurrent committer → our files orphan
       // (vacuum-able); a LATER epoch having overtaken an uncommitted one
       // is an ordering violation that must not silently drop this batch
-      if (head.exists(_.lineage.contains(s"epoch_$epoch"))) return None
+      if (head.exists(h => epoch < h.lineageEpochFloor ||
+          h.lineage.contains(s"epoch_$epoch"))) return None
       if (head.exists(_.epochWatermark >= epoch))
         throw new IllegalStateException(
           s"mergeEpoch($epoch): a concurrent commit advanced the " +

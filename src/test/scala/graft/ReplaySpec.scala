@@ -145,6 +145,31 @@ class ReplaySpec extends SparkSpec {
     assert(ex.getMessage.contains("never committed"))
   }
 
+  test("lineage registry is bounded; truncated epochs still skip exactly-once") {
+    val key = "graft.lineage.cap"
+    val prev = sys.props.get(key)
+    sys.props(key) = "6"
+    try {
+      val small = cfg.copy(epochSize = 250L) // 20 epochs >> cap 6
+      val table = freshTable()
+      val events = ChangeGen.stream(spark, small).toDF()
+      Replayer.run(spark, events, table, maxEpoch = 19)
+      val m = table.currentManifest.get
+      assert(m.lineage.size <= 6, s"lineage must be capped: ${m.lineage.size}")
+      assert(m.lineageEpochFloor > 0, "floor must advance over truncation")
+      assert(m.lineage.contains("epoch_19"), "newest entries retained")
+      // a re-delivered epoch BELOW the floor is recognized as committed
+      // (contiguity proof), not mistaken for an ordering violation
+      assert(MergeUpsert.mergeEpoch(spark, table,
+        events.filter(col("epoch") === 0), 0L).isEmpty)
+      assert(FoldOracle.digestOfTable(table.snapshot(spark)) ==
+        oracleDigest(small))
+    } finally {
+      prev match { case Some(v) => sys.props(key) = v
+                   case None => sys.props -= key }
+    }
+  }
+
   test("mid-run incremental compaction interleaves with active replay") {
     // compactEvery=2 over 10 epochs: hot-bucket folds fire WHILE later
     // epochs keep appending deltas, then a full fold closes the run —
