@@ -239,7 +239,7 @@ object Pipeline {
     val snapRestricted = snap
       .withColumns(d.groupExprs.toMap)
       .join(broadcast(aff), groupNames, "left_semi")
-      .select(snap.columns.map(col): _*)
+      .select(snap.columns.toIndexedSeq.map(col): _*)
 
     val upstream: Map[String, DataFrame] =
       d.dependsOn.map(n => n -> tables(n).snapshot(spark)).toMap

@@ -263,7 +263,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     * genuinely-NULL value stays NULL. */
   private def canonicalize(m: Manifest, df: DataFrame): DataFrame = {
     if (m.renames.isEmpty) df
-    else df.select(m.schema.fields.map { f =>
+    else df.select(m.schema.fields.toIndexedSeq.map { f =>
       m.renames.get(f.name) match {
         case Some(formers) =>
           coalesce((f.name +: formers).map(col): _*).as(f.name)

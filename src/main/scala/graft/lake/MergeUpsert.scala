@@ -69,7 +69,7 @@ object MergeUpsert {
   def latestPerKey(df: DataFrame,
                    ordCols: Seq[String] = Seq("seq", "commit"),
                    keyCols: Seq[String] = DefaultKeyCols): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(ordCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(graft.functions.LatestBy(payload, ord).as("__w"))
