@@ -708,8 +708,11 @@ object SparkEntry {
       val domains = graft.engine.Pipeline.omopDomains(s)
       val tables = graft.engine.Pipeline.openDomainTables(
         s"$root/domains", domains, 4)
+      // merge-on-read serves the final read; compaction itself is pinned
+      // in PipelineSpec/MaintenanceSpec (here it would only add ~12 toy
+      // jobs to every suite run)
       graft.engine.Pipeline.run(s, changes, source, domains, tables,
-        maxEpoch = 2, compactEvery = 2)
+        maxEpoch = 2)
       tables("person").snapshot(s).select("person_source_value", "n_paths",
         "n_langs", "langs", "first_path", "modified_seq")
     })
