@@ -55,6 +55,34 @@ object Demo {
       println(s"[lineage] $k: $v")
     }
     if (engineDigest != oracleDigest) sys.exit(1)
+
+    // multi-table pipeline drive: the same WAL feeds a fresh source plus
+    // the five OMOP-shaped domain tables in dependency order; verify the
+    // person table against its plain-Scala fold oracle
+    println("[demo] driving the multi-table pipeline (5 domain tables)...")
+    val pSource = new LakeTable(
+      java.nio.file.Files.createTempDirectory("graft-demo-psrc").toString, 16)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(
+      java.nio.file.Files.createTempDirectory("graft-demo-dom").toString,
+      domains, 8)
+    val pr = Pipeline.run(spark, events, pSource, domains, tables, maxEpoch)
+    domains.foreach { d =>
+      val t = tables(d.name)
+      println(s"[demo] ${d.name}: epoch ${t.lastCommittedEpoch}, " +
+        s"${t.snapshot(spark).count()} rows")
+    }
+    val personLines = tables("person").snapshot(spark)
+      .select("person_source_value", "n_paths", "n_langs", "langs",
+        "first_path", "modified_seq")
+      .collect().map(r => (0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString("|"))
+      .toSeq.sorted
+    val personOracle = graft.oracle.DomainOracle.personLines(
+      FoldOracle.expectedState(cfg.copy(duplicateRate = 0)))
+    println(s"[demo] person table == fold oracle: ${personLines == personOracle}")
+    if (personLines != personOracle) sys.exit(1)
+    println(s"[demo] pipeline updates committed: ${pr.updates.count(_.result.isDefined)}")
     spark.stop()
   }
 }
