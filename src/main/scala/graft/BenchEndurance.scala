@@ -19,13 +19,27 @@ import graft.lake.{LakeTable, Maintenance, MergeUpsert}
   * deleted after replay, and tmpfs never holds more than one chunk — the
   * same reason a 10^10-event tail never materializes its history.
   *
-  * argv: cpus totalEvents epochs chunkEpochs compactEvery
+  * argv: cpus totalEvents epochs chunkEpochs compactEvery [walDir]
+  * (walDir: a pre-materialized epoch-partitioned WAL — the launcher
+  * generates it at full host parallelism since generation is untimed;
+  * omitted/"-" = generate chunks in-process at `cpus`)
   * stdout: per-epoch CSV lines (epoch, merge wall, maintenance wall,
   * bytes, delta files) then one `ENDURANCE_JSON={...}` summary line.
   */
 object BenchEndurance {
+
+  /** The endurance stream shape — same key space / skew / duplicate rate
+    * as the ladder. Shared with the launcher so a pre-materialized WAL
+    * matches what the in-process fallback would generate. */
+  def config(totalEvents: Long, epochs: Int): GenConfig =
+    GenConfig(seed = 42L, numEvents = totalEvents,
+      numRepos = 500, pathsPerRepo = 2000,
+      epochSize = math.max(1L, totalEvents / epochs),
+      duplicateRate = 5, contentLen = 256)
+
   def main(args: Array[String]): Unit = {
-    val Array(cpusS, eventsS, epochsS, chunkS, compactS) = args
+    val Array(cpusS, eventsS, epochsS, chunkS, compactS) = args.take(5)
+    val preWal: Option[String] = args.lift(5).filter(_ != "-")
     val cpus = cpusS.toInt
     val totalEvents = eventsS.toLong
     val epochs = epochsS.toInt
@@ -50,10 +64,7 @@ object BenchEndurance {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val cfg = GenConfig(seed = 42L, numEvents = totalEvents,
-        numRepos = 500, pathsPerRepo = 2000,
-        epochSize = math.max(1L, totalEvents / epochs),
-        duplicateRate = 5, contentLen = 256)
+      val cfg = config(totalEvents, epochs)
       val base = Paths.get(scratch)
       val table = new LakeTable(
         Files.createTempDirectory(base, "graft-endur-").toString, 64)
@@ -77,16 +88,21 @@ object BenchEndurance {
 
       (0 until epochs by chunkEpochs).foreach { chunkStart =>
         val chunkEnd = math.min(epochs, chunkStart + chunkEpochs)
-        // materialize this chunk's WAL slice (untimed — the tail exists)
-        val lo = chunkStart.toLong * cfg.epochSize
-        val hi = math.min(totalEvents, chunkEnd.toLong * cfg.epochSize)
-        val walDir = Files.createTempDirectory(base, "graft-endur-wal-").toString
-        import spark.implicits._
-        // no repartition: range's native partitions are already balanced
-        // and a shuffle of the full chunk would double the (untimed but
-        // wall-clock-real) generation cost
-        spark.range(lo, hi).map(i => ChangeGen.eventAt(cfg, i)).toDF()
-          .write.mode("overwrite").partitionBy("epoch").parquet(walDir)
+        // this chunk's WAL slice: pre-materialized by the launcher, or
+        // generated here (untimed either way — the tail exists)
+        val walDir = preWal.getOrElse {
+          val lo = chunkStart.toLong * cfg.epochSize
+          val hi = math.min(totalEvents, chunkEnd.toLong * cfg.epochSize)
+          val d = Files.createTempDirectory(base, "graft-endur-wal-").toString
+          import spark.implicits._
+          // no repartition: range's native partitions are already balanced
+          // and a shuffle of the full chunk would double the (untimed but
+          // wall-clock-real) generation cost
+          spark.range(lo, hi).map(i => ChangeGen.eventAt(cfg, i)).toDF()
+            .write.mode("overwrite").partitionBy("epoch").parquet(d)
+          d
+        }
+        // epoch-partition pruning keeps per-epoch scans exact either way
         val chunk = spark.read.parquet(walDir)
 
         (chunkStart until chunkEnd).foreach { e =>
@@ -111,7 +127,8 @@ object BenchEndurance {
             f"maint=$tMaint%6.2fs bytes=${r.get.bytesWritten}%12d " +
             f"deltaFiles=$deltas%4d")
         }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(walDir))
+        if (preWal.isEmpty) // a launcher-provided WAL is the launcher's
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(walDir))
       }
 
       // final fold: end state must be a queryable pure base tier
