@@ -45,43 +45,19 @@ object Bench {
     s
   }
 
-  /** Timed replay at parallelism `cpus` in a FRESH child JVM (one
-    * "spark-submit" per measurement — see [[BenchReplay]] for why).
-    * Child inherits this JVM's flags (--add-opens, -Xmx) and classpath. */
-  private def replayOnce(cpus: Int, walDir: String, epochs: Long,
-                         warmWal: String): Double = {
-    import scala.jdk.CollectionConverters._
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("-D"))
-    // child heap: PINNED (Xms=Xmx) so GC geometry is identical across
-    // levels and reps, and SMALL (16g): a 48g pinned heap measurably
-    // poisoned the replay — G1 spreads allocation over the whole 48g,
-    // page-touch storms escalated identical epochs 19s -> 60s within one
-    // run; at 16g the same epochs run steady
-    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
-    val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq(s"-Xmx$childMem", s"-Xms$childMem") ++ Seq(
-      "-cp", System.getProperty("java.class.path"),
-      "graft.BenchReplay", cpus.toString, walDir, epochs.toString, warmWal))
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("GRAFT_TMPDIR", scratchBase)
-    pb.redirectError(ProcessBuilder.Redirect.DISCARD) // Spark INFO spam
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-    proc.waitFor()
-    out.linesIterator.collectFirst {
-      case l if l.startsWith("REPLAY_SECONDS=") =>
-        l.stripPrefix("REPLAY_SECONDS=").toDouble
-    }.getOrElse(sys.error(s"BenchReplay(p=$cpus) produced no result: $out"))
-  }
-
-  /** Run a bench main in a fresh pinned-heap child JVM and return the
-    * payload of the first stdout line starting with `marker` (child
-    * stderr streams through for progress visibility). */
-  private def childMain(mainClass: String, args: Seq[String],
-                        marker: String): Option[String] = {
+  /** Run a bench main in a FRESH child JVM (one "spark-submit" per
+    * measurement — see [[BenchReplay]] for why) and return the payload of
+    * the first stdout line starting with `marker`. Child inherits this
+    * JVM's module flags and classpath; heap is PINNED (Xms=Xmx) so GC
+    * geometry is identical across levels and reps, and SMALL (16g): a 48g
+    * pinned heap measurably poisoned the replay — G1 spreads allocation
+    * over the whole 48g, page-touch storms escalated identical epochs
+    * 19s → 60s within one run; at 16g the same epochs run steady.
+    * `inheritStderr = false` discards child stderr (Spark INFO spam on
+    * the tightly-repeated ladder children); true streams it through for
+    * progress visibility on long singles. */
+  private def childMain(mainClass: String, args: Seq[String], marker: String,
+                        inheritStderr: Boolean = true): Option[String] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -93,7 +69,8 @@ object Bench {
       Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args)
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("GRAFT_TMPDIR", scratchBase)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectError(if (inheritStderr) ProcessBuilder.Redirect.INHERIT
+      else ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
     proc.waitFor()
@@ -101,6 +78,15 @@ object Bench {
       case l if l.startsWith(marker) => l.stripPrefix(marker)
     }
   }
+
+  /** Timed replay at parallelism `cpus` in a fresh child JVM. */
+  private def replayOnce(cpus: Int, walDir: String, epochs: Long,
+                         warmWal: String): Double =
+    childMain("graft.BenchReplay",
+      Seq(cpus.toString, walDir, epochs.toString, warmWal),
+      "REPLAY_SECONDS=", inheritStderr = false)
+      .map(_.toDouble)
+      .getOrElse(sys.error(s"BenchReplay(p=$cpus) produced no result"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -291,6 +277,8 @@ object Bench {
           finally s.stop()
           true
         } catch { case _: Throwable => false }
+        if (!genOk) // a partial 7GB WAL must not eat the fallback's tmpfs
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(endWal))
         System.gc() // idle launcher heap must not starve the child
         System.err.println(s"[bench] endurance: $endEvents events / " +
           s"$endEpochs epochs at local[$endCpus] (wal pre-gen ok=$genOk)")
@@ -333,10 +321,14 @@ object Bench {
       Files.writeString(f, jsonLine + "\n")
       val sbtPid = ProcessHandle.current().parent()
         .map[Long](_.pid()).orElse(ProcessHandle.current().pid())
+      // if the poll TIMES OUT with sbt still alive, do NOT cat — the JSON
+      // would interleave with live sbt output mid-run, corrupting the very
+      // last-line contract this helper exists to serve
       val script =
         s"exec 9>>/proc/$sbtPid/fd/1 2>/dev/null || exit 0; exec 1>&-; " +
           s"i=0; while kill -0 $sbtPid 2>/dev/null && " +
           s"""[ "$$i" -lt 900 ]; do sleep 0.2; i=$$((i+1)); done; """ +
+          s"kill -0 $sbtPid 2>/dev/null && exit 0; " +
           s"sleep 0.5; cat '$f' >&9; rm -f '$f'"
       val pb = new ProcessBuilder("/bin/sh", "-c", script)
       pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)

@@ -713,8 +713,16 @@ object SparkEntry {
       // jobs to every suite run)
       graft.engine.Pipeline.run(s, changes, source, domains, tables,
         maxEpoch = 2)
-      tables("person").snapshot(s).select("person_source_value", "n_paths",
-        "n_langs", "langs", "first_path", "modified_seq")
+      // localize the (tiny — one row per distinct repo, ≤ a few hundred)
+      // result so the scratch lake can be deleted before returning; the
+      // returned frame must stay valid after this function exits
+      val out = tables("person").snapshot(s).select("person_source_value",
+        "n_paths", "n_langs", "langs", "first_path", "modified_seq")
+      val rows = out.collect().toList
+      val schema = out.schema
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
     })
   )
 

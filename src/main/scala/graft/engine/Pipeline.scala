@@ -128,12 +128,7 @@ object Pipeline {
           domains: Seq[DomainDef], tables: Map[String, LakeTable],
           maxEpoch: Long, upToEpoch: Option[Long] = None,
           compactEvery: Int = 0): PipelineReport = {
-    domains.foldLeft(Set.empty[String]) { (seen, d) =>
-      require(d.dependsOn.forall(seen.contains),
-        s"domain ${d.name} depends on ${d.dependsOn.mkString(",")} — " +
-          "declare upstream domains first (dependency order)")
-      seen + d.name
-    }
+    validateTopology(domains, tables)
     val stop = upToEpoch.map(u => math.min(u, maxEpoch)).getOrElse(maxEpoch)
     val start = (source.lastCommittedEpoch +:
       domains.map(d => tables(d.name).lastCommittedEpoch)).min + 1
@@ -181,6 +176,31 @@ object Pipeline {
     PipelineReport(updates.result(), compactions)
   }
 
+  /** Shared front-door validation for [[run]] and [[applyEpochBatch]]:
+    * dependency order (each `dependsOn` declared earlier) AND DomainDef ↔
+    * existing-table agreement on the merge key — a table's committed
+    * keyCols win over the constructor seed, so a changed DomainDef run
+    * against an old root would otherwise silently re-key rows under the
+    * stale semantics. */
+  private def validateTopology(domains: Seq[DomainDef],
+                               tables: Map[String, LakeTable]): Unit = {
+    domains.foldLeft(Set.empty[String]) { (seen, d) =>
+      require(d.dependsOn.forall(seen.contains),
+        s"domain ${d.name} depends on ${d.dependsOn.mkString(",")} — " +
+          "declare upstream domains first (dependency order)")
+      seen + d.name
+    }
+    domains.foreach { d =>
+      tables(d.name).currentManifest.foreach { m =>
+        require(m.keyCols == d.keyCols,
+          s"domain ${d.name}: existing table at ${tables(d.name).root} is " +
+            s"keyed on (${m.keyCols.mkString(", ")}) but the DomainDef " +
+            s"declares (${d.keyCols.mkString(", ")}) — a key change needs " +
+            "a backfill into a fresh root, not an in-place rerun")
+      }
+    }
+  }
+
   /** One epoch applied from a single delivered batch — the STREAMING form
     * (StreamIngest.startPipeline's foreachBatch): Structured Streaming
     * re-executes a failed batchId with identical content, so a domain is
@@ -192,6 +212,7 @@ object Pipeline {
                       source: LakeTable, domains: Seq[DomainDef],
                       tables: Map[String, LakeTable],
                       epoch: Long): Seq[TableUpdate] = {
+    validateTopology(domains, tables)
     val updates = Seq.newBuilder[TableUpdate]
     updates += TableUpdate("source", epoch,
       MergeUpsert.mergeEpoch(spark, source, batch, epoch))
@@ -231,8 +252,26 @@ object Pipeline {
                            affectedEvents: DataFrame,
                            e: Long): DataFrame = {
     val groupNames = d.groupExprs.map(_._1)
-    val aff = affectedEvents
+    val aff0 = affectedEvents
       .select(d.groupExprs.map { case (n, ex) => ex.as(n) }: _*).distinct()
+
+    // When the group key IS the table's merge key (person, condition,
+    // drug), collect the affected-group set ONCE — it is broadcast-small
+    // by construction (both semi-joins broadcast it anyway) — so the
+    // bucket-ID derivation and both joins work from a LocalRelation
+    // instead of re-scanning the epoch batch per consumer, and the
+    // tombstone probe can scan only the buckets those keys hash to.
+    val (aff, prunedBuckets): (DataFrame, Option[Set[Int]]) =
+      if (groupNames == dTable.keyCols && dTable.currentManifest.isDefined) {
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(
+          aff0.collect().toList.asJava, aff0.schema)
+        val nb = dTable.numBuckets
+        val buckets = local
+          .select(MergeUpsert.bucketOf(nb, groupNames).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        (local, Some(buckets))
+      } else (aff0, None)
 
     // source rows of the affected groups only (broadcast semi-join over
     // the caller's per-epoch materialized snapshot)
@@ -251,19 +290,8 @@ object Pipeline {
       fresh0.withColumnRenamed("updated_seq", "source_seq") else fresh0
 
     // groups that vanished: previously-present domain keys of affected
-    // groups with no recomputed row → delete tombstones. When the group
-    // key IS the table's merge key (person, condition, drug), the
-    // affected rows can only live in the buckets the group keys hash to —
-    // collect those few bucket IDs (a tiny distinct-project job, at most
-    // numBuckets values) and scan ONLY them: the tombstone probe then
-    // reads O(|affected buckets| / numBuckets) of the domain table
-    // instead of all of it.
-    val prunedBuckets: Option[Set[Int]] =
-      if (groupNames == dTable.keyCols && dTable.currentManifest.isDefined) {
-        val nb = dTable.numBuckets
-        Some(aff.select(MergeUpsert.bucketOf(nb, groupNames).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet)
-      } else None
+    // groups with no recomputed row → delete tombstones; scanned with the
+    // bucket pruning derived above where the group key is the merge key
     val existing = dTable.snapshot(spark, prunedBuckets)
     val dels =
       if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)

@@ -169,15 +169,21 @@ object Maintenance {
       case Some(bs) => current.files.filterNot(f => bs.contains(f.bucket))
       case None => Seq.empty
     }
+    // the lineage cap applies to maintenance commits too (epoch floor
+    // unchanged — compaction entries carry no exactly-once semantics)
+    val (cappedLineage, linFloor) = MergeUpsert.truncateLineage(
+      current.lineage +
+        (s"compact_v$version" -> (s"tombstoneWatermark=$tombstoneWatermark " +
+          s"buckets=${buckets.map(_.size.toString).getOrElse("all")} " +
+          s"files=${newFiles.size} rows=${newFiles.map(_.rows).sum}")),
+      current.lineageEpochFloor, MergeUpsert.lineageCap)
     val manifest = current.copy(
       version = version,
       files = kept ++ newFiles,
       // a partial compaction leaves old-named files → mapping must survive
       renames = if (buckets.isEmpty) Map.empty else current.renames,
-      lineage = current.lineage +
-        (s"compact_v$version" -> (s"tombstoneWatermark=$tombstoneWatermark " +
-          s"buckets=${buckets.map(_.size.toString).getOrElse("all")} " +
-          s"files=${newFiles.size} rows=${newFiles.map(_.rows).sum}")))
+      lineage = cappedLineage,
+      lineageEpochFloor = linFloor)
     if (table.tryCommit(manifest)) Some(manifest) else None
   }
 

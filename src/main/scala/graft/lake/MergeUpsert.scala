@@ -193,6 +193,16 @@ object MergeUpsert {
     val obsIn = Observation()
     val compacted = latestPerKey(
       mapped.observe(obsIn, count(lit(1)).as("events")), keyCols = kc)
+    // once a table's committed schema carries content_sha, the per-row
+    // invariant is established (input_hint) and a feed batch that lost
+    // its content column must fail loudly here, not commit NULL-content
+    // rows; tables that never had content (derived domains) are exempt
+    require(compacted.columns.contains("content") ||
+        !current.exists(_.schema.fieldNames.contains("content_sha")),
+      s"mergeEpoch($epoch): batch has no 'content' column (columns: " +
+        s"${compacted.columns.mkString(", ")}) but this table's schema " +
+        "carries the content_sha invariant — refusing to commit rows " +
+        "that would silently violate it")
     val sha =
       if (compacted.columns.contains("content"))
         compacted.withColumn("content_sha",

@@ -138,6 +138,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("a changed DomainDef merge key against an existing root fails fast") {
+    val (source, domains, tables) = freshPipeline()
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 0)
+    // rekeying a domain and re-running over the old root would silently
+    // merge rows under the committed (stale) key — must be rejected
+    val rekeyed = domains.map {
+      case d if d.name == "person" =>
+        d.copy(keyCols = Seq("person_source_value", "n_langs"))
+      case d => d
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, events, source, rekeyed, tables, maxEpoch = 1)
+    }
+    assert(ex.getMessage.contains("keyed on"))
+  }
+
   test("source schema evolution mid-run flows through the pipeline") {
     import spark.implicits._
     val source = new LakeTable(tmpDir("pipe-evo-src"), 4)

@@ -134,6 +134,19 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(old.isNullAt(0))
   }
 
+  test("a source batch that lost its content column fails fast") {
+    val table = new LakeTable(tmpDir("evo-content"), 4)
+    Replayer.run(spark, v1Events, table, maxEpoch = 1) // establishes content_sha
+    val lost = Seq((9L, 2L, "U", "r1", "a.scala", "c9", "scala", 3))
+      .toDF("seq", "epoch", "op", "repo", "path", "commit", "lang",
+        "schemaVersion")
+    val ex = intercept[IllegalArgumentException] {
+      MergeUpsert.mergeEpoch(spark, table, lost, 2L)
+    }
+    assert(ex.getMessage.contains("content_sha invariant"))
+    assert(table.lastCommittedEpoch == 1, "nothing may commit")
+  }
+
   test("replay across the evolution point is batching-invariant") {
     val all = v1Events.unionByName(v2Events, allowMissingColumns = true)
     // one epoch-at-a-time
