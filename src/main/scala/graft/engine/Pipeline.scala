@@ -25,8 +25,21 @@ import graft.transform.Domains
   * deleted). Per-epoch domain work is therefore O(rows of affected
   * groups), never O(table):
   *  - the affected-group set is distinct-projected from the epoch batch
-  *    and '''broadcast''' into semi-joins on both the source snapshot and
-  *    the domain table (no full-table shuffle);
+  *    and semi-joined against both the source snapshot and the domain
+  *    table (no full-table recomputation). The restriction is
+  *    '''size-gated''': a normal epoch's group set is broadcast-small and
+  *    plans as broadcast semi-joins (plus a LocalRelation fast path with
+  *    bucket pruning when the group key IS the merge key); but the set is
+  *    O(distinct group keys in the batch), and a full-refresh epoch — or
+  *    the catch-up union of many missed epochs — can touch millions of
+  *    groups, where a driver collect / forced broadcast becomes the
+  *    bottleneck before any executor does. Above
+  *    [[Pipeline.broadcastGroupLimit]] the set stays fully distributed
+  *    and both restrictions plan as shuffle semi-joins (PlanSpec asserts
+  *    BOTH regimes). The gate costs no Spark job: the bound is the sum of
+  *    per-epoch `keys=` counts from the source manifest's lineage
+  *    registry (groups are functions of the merge key, so distinct
+  *    groups ≤ distinct keys);
   *  - group aggregates are partial+final hash aggregates over only the
   *    semi-filtered rows;
   *  - tombstone detection is `affected domain keys EXCEPT recomputed
@@ -46,6 +59,17 @@ import graft.transform.Domains
   */
 object Pipeline {
 
+  /** Affected-group sets at or below this many group keys are collected /
+    * broadcast (LocalRelation fast path + bucket pruning + broadcast
+    * semi-joins); above it they stay distributed and the restrictions
+    * plan as shuffle semi-joins. 1 M short group keys is O(tens of MB)
+    * broadcast — past that the driver materialization is the scale
+    * bottleneck. Overridable for tests and tuning via
+    * `-Dgraft.pipeline.broadcastGroupLimit=N`. */
+  def broadcastGroupLimit: Long =
+    sys.props.get("graft.pipeline.broadcastGroupLimit").map(_.toLong)
+      .getOrElse(1000000L)
+
   /** One derived domain table.
     *
     * @param name       domain/table name
@@ -53,7 +77,10 @@ object Pipeline {
     * @param groupExprs recomputation-group key: name → expression over
     *                   CHANGE-EVENT/source rows; the names must also be
     *                   columns of the transform's output (they locate
-    *                   existing rows of affected groups for tombstoning)
+    *                   existing rows of affected groups for tombstoning).
+    *                   Must be FUNCTIONS OF THE SOURCE MERGE KEY — the
+    *                   size gate bounds the group count by the per-epoch
+    *                   distinct-key counts in the source lineage
     * @param transform  (session, source rows restricted to affected
     *                   groups, upstream domain snapshots by name) → the
     *                   current domain rows for those groups
@@ -89,6 +116,64 @@ object Pipeline {
       Seq("repo" -> col("repo")),
       (s, src, up) => measurementDomain(s, src, up("person")),
       dependsOn = Seq("person")))
+
+  /** The DEEP topology: the five domains plus a ≥2-deep dependency chain
+    * — `visit_occurrence → visit_detail → procedure_occurrence` — the
+    * reference's explicit ordering constraint ("Visit Occurrence must
+    * complete before Visit Detail",
+    * /root/reference/Delphi/ArchitecturePlan.md:51-68, with visit_detail
+    * feeding measurement/procedure/drug in its step list,
+    * /root/reference/Delphi/config.yaml:226-241). Catch-up ordering is
+    * subtler here: a domain two links down the chain may be further
+    * behind than its parent, and each must recompute from its upstream's
+    * CURRENT epoch state — PipelineSpec drives both levels lagging by
+    * different amounts. */
+  def omopDomainsDeep(spark: SparkSession): Seq[DomainDef] =
+    omopDomains(spark) ++ Seq(
+      DomainDef("visit_detail", Seq("repo", "path"),
+        Seq("repo" -> col("repo")),
+        (s, src, up) => visitDetailDomain(s, src, up("visit_occurrence")),
+        dependsOn = Seq("visit_occurrence")),
+      DomainDef("procedure_occurrence", Seq("repo", "path"),
+        Seq("repo" -> col("repo")),
+        (s, src, up) => procedureDomain(s, src, up("visit_detail")),
+        dependsOn = Seq("visit_detail")))
+
+  /** VISIT_DETAIL — one detail row per live (repo, path), derived from the
+    * VISIT_OCCURRENCE domain table's epoch state (not from the source):
+    * the within-repo visit rank over the LAG chain (W3 ROW_NUMBER made
+    * deterministic by the (source_seq, path) order). The upstream
+    * snapshot is semi-restricted to the affected repos, so per-epoch work
+    * stays O(affected groups) even though `up` hands over the full
+    * table. */
+  def visitDetailDomain(spark: SparkSession, src: DataFrame,
+                        visit: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val affRepos = src.select("repo").distinct()
+    val w = Window.partitionBy("repo")
+      .orderBy(col("source_seq").asc, col("path").asc)
+    visit.join(affRepos, Seq("repo"), "left_semi")
+      .withColumn("visit_rank", row_number().over(w))
+      .select(col("repo"), col("path"), col("commit"), col("source_seq"),
+        col("preceding_commit"), col("visit_rank"))
+  }
+
+  /** PROCEDURE_OCCURRENCE — the second link of the chain: source rows of
+    * the affected groups enriched from the VISIT_DETAIL table's epoch
+    * state (FK join on the detail's own merge key), concept derived from
+    * the path extension. Depends on visit_detail which depends on
+    * visit_occurrence — a 2-deep domain→domain→domain chain. */
+  def procedureDomain(spark: SparkSession, src: DataFrame,
+                      detail: DataFrame): DataFrame = {
+    val affRepos = src.select("repo").distinct()
+    val d = detail.join(affRepos, Seq("repo"), "left_semi")
+      .select(col("repo"), col("path"), col("visit_rank"))
+    src.join(d, Seq("repo", "path"), "left")
+      .select(col("repo"), col("path"),
+        substring_index(col("path"), ".", -1).as("procedure_concept"),
+        col("visit_rank"),
+        col("content_sha").as("procedure_source_value"))
+  }
 
   /** MEASUREMENT with a real upstream dependency: broadcast
     * concept-dimension lookup (J10) plus an enrichment join against the
@@ -154,7 +239,9 @@ object Pipeline {
           // groups of every missed epoch into one recomputation
           val missed = events.filter(col("epoch") > dTable.lastCommittedEpoch
             && col("epoch") <= e)
-          val res = updateDomain(spark, d, dTable, snap, tables, missed, e)
+          val bound = affectedKeyBound(source, dTable.lastCommittedEpoch, e)
+          val res = updateDomain(spark, d, dTable, snap, tables, missed, e,
+            bound)
           updates += TableUpdate(d.name, e, res)
         } else updates += TableUpdate(d.name, e, None)
       } finally snap.unpersist(blocking = false)
@@ -226,11 +313,40 @@ object Pipeline {
             s"more than one behind batch $epoch — catch it up with the " +
             "batch Pipeline.run before streaming")
         updates += TableUpdate(d.name, epoch,
-          updateDomain(spark, d, dTable, snap, tables, batch, epoch))
+          updateDomain(spark, d, dTable, snap, tables, batch, epoch,
+            affectedKeyBound(source, epoch - 1, epoch)))
       } else updates += TableUpdate(d.name, epoch, None)
     } finally snap.unpersist(blocking = false)
     updates.result()
   }
+
+  /** Upper bound on the distinct group keys touched in epochs
+    * `(fromExclusive, to]` — read from the source manifest's per-epoch
+    * lineage (`keys=N` = distinct merge keys after within-batch
+    * compaction), costing no Spark job. Groups are functions of the merge
+    * key (the DomainDef contract), so distinct groups ≤ Σ per-epoch keys.
+    * Any epoch missing from the registry (truncated below the lineage
+    * floor, or never committed) returns `Long.MaxValue` — unknown means
+    * the scale-safe distributed regime, never a blind broadcast. */
+  private[graft] def affectedKeyBound(source: LakeTable,
+      fromExclusive: Long, to: Long): Long =
+    source.currentManifest match {
+      case None => Long.MaxValue
+      case Some(m) =>
+        var sum = 0L
+        var e = fromExclusive + 1
+        while (e <= to) {
+          m.lineage.get(s"epoch_$e")
+            .flatMap(KeysRe.findFirstMatchIn)
+            .map(_.group(1).toLong) match {
+            case Some(k) => sum += k
+            case None => return Long.MaxValue
+          }
+          e += 1
+        }
+        sum
+    }
+  private val KeysRe = "keys=(\\d+)".r
 
   /** One domain's epoch update: recompute affected groups from the merged
     * source state, tombstone vanished groups, merge as epoch `e`. */
@@ -238,31 +354,41 @@ object Pipeline {
                            dTable: LakeTable, snap: DataFrame,
                            tables: Map[String, LakeTable],
                            affectedEvents: DataFrame,
-                           e: Long): Option[MergeUpsert.MergeResult] =
+                           e: Long,
+                           affectedBound: Long): Option[MergeUpsert.MergeResult] =
     MergeUpsert.mergeEpoch(spark, dTable,
-      domainBatchPlan(spark, d, dTable, snap, tables, affectedEvents, e), e)
+      domainBatchPlan(spark, d, dTable, snap, tables, affectedEvents, e,
+        affectedBound), e)
 
   /** The (lazy) domain-update batch for epoch `e` — exposed separately
-    * from the merge so its physical plan is assertable in PlanSpec: both
-    * restrictions MUST be broadcast semi-joins on the affected-group set
-    * (never a shuffle of the source or domain table). */
+    * from the merge so its physical plan is assertable in PlanSpec.
+    * `affectedBound` ≤ [[broadcastGroupLimit]] (a normal epoch): both
+    * restrictions are broadcast semi-joins on the affected-group set,
+    * never a shuffle of the source or domain table. Above the limit (a
+    * full-refresh-scale epoch or a deep catch-up): the group set is never
+    * driver-collected and both restrictions plan as shuffle semi-joins —
+    * O(batch + affected rows) exchanged, nothing forced through the
+    * driver. */
   private[graft] def domainBatchPlan(spark: SparkSession, d: DomainDef,
                            dTable: LakeTable, snap: DataFrame,
                            tables: Map[String, LakeTable],
                            affectedEvents: DataFrame,
-                           e: Long): DataFrame = {
+                           e: Long,
+                           affectedBound: Long): DataFrame = {
     val groupNames = d.groupExprs.map(_._1)
     val aff0 = affectedEvents
       .select(d.groupExprs.map { case (n, ex) => ex.as(n) }: _*).distinct()
+    val small = affectedBound <= broadcastGroupLimit
 
-    // When the group key IS the table's merge key (person, condition,
-    // drug), collect the affected-group set ONCE — it is broadcast-small
-    // by construction (both semi-joins broadcast it anyway) — so the
-    // bucket-ID derivation and both joins work from a LocalRelation
-    // instead of re-scanning the epoch batch per consumer, and the
-    // tombstone probe can scan only the buckets those keys hash to.
+    // When the set is gate-small AND the group key IS the table's merge
+    // key (person, condition, drug), collect it ONCE — both semi-joins
+    // broadcast it anyway — so the bucket-ID derivation and both joins
+    // work from a LocalRelation instead of re-scanning the epoch batch
+    // per consumer, and the tombstone probe can scan only the buckets
+    // those keys hash to.
     val (aff, prunedBuckets): (DataFrame, Option[Set[Int]]) =
-      if (groupNames == dTable.keyCols && dTable.currentManifest.isDefined) {
+      if (small && groupNames == dTable.keyCols &&
+          dTable.currentManifest.isDefined) {
         import scala.jdk.CollectionConverters._
         val local = spark.createDataFrame(
           aff0.collect().toList.asJava, aff0.schema)
@@ -272,12 +398,13 @@ object Pipeline {
           .distinct().collect().map(_.getInt(0)).toSet
         (local, Some(buckets))
       } else (aff0, None)
+    def restrictor: DataFrame = if (small) broadcast(aff) else aff
 
-    // source rows of the affected groups only (broadcast semi-join over
-    // the caller's per-epoch materialized snapshot)
+    // source rows of the affected groups only (semi-join over the
+    // caller's per-epoch materialized snapshot)
     val snapRestricted = snap
       .withColumns(d.groupExprs.toMap)
-      .join(broadcast(aff), groupNames, "left_semi")
+      .join(restrictor, groupNames, "left_semi")
       .select(snap.columns.toIndexedSeq.map(col): _*)
 
     val upstream: Map[String, DataFrame] =
@@ -295,7 +422,7 @@ object Pipeline {
     val existing = dTable.snapshot(spark, prunedBuckets)
     val dels =
       if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
-      else existing.join(broadcast(aff), groupNames, "left_semi")
+      else existing.join(restrictor, groupNames, "left_semi")
         .select(d.keyCols.map(col): _*)
         .except(fresh.select(d.keyCols.map(col): _*))
 

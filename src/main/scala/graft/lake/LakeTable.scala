@@ -360,9 +360,19 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     * away by compaction still belongs to the interval's change set and
     * remains on disk while its manifest is retained). Bounded like time
     * travel: vacuum's `retainVersions` floor reclaims old manifests and
-    * the files only they reference; renames are normalized against the
-    * HEAD manifest, so consume the stream before a full compaction
-    * clears a pending rename mapping. */
+    * the files only they reference.
+    *
+    * Renames: each version's files are canonicalized under THAT
+    * version's own manifest (readAt's rule) and then mapped forward to
+    * the head's canonical names via the rename mappings observed across
+    * the interval. Normalizing everything against HEAD alone — the
+    * previous implementation — silently read a renamed column as NULL
+    * for pre-rename change files once a full compaction had cleared the
+    * mapping from the head manifest; per-version canonicalization keeps
+    * the stream exact across rename + compaction. A mapping that first
+    * appears at version w is applied only to files added BEFORE w, so a
+    * retired name legitimately re-introduced as a new column later is
+    * never hijacked. */
   def changesSince(spark: SparkSession, fromVersion: Long): DataFrame = {
     val head = currentVersion
     require(head > 0, s"$root has no commits")
@@ -371,18 +381,66 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
         "or vacuumed past the retention floor)")
     val headM = readManifest(head)
     var prev = readManifest(fromVersion).files.map(_.path).toSet
-    val changeFiles = ((fromVersion + 1) to head).flatMap { v =>
+    // per-version added delta files + first version each alias was seen
+    val groups = Seq.newBuilder[(Manifest, Seq[ManifestFile])]
+    val aliasFirstSeen =
+      scala.collection.mutable.Map.empty[String, (String, Long)]
+    ((fromVersion + 1) to head).foreach { v =>
       val m = readManifest(v)
+      m.feedAliases.foreach { case (former, canon) =>
+        if (!aliasFirstSeen.contains(former))
+          aliasFirstSeen(former) = (canon, v)
+      }
       val added = m.files.filter(f => f.tier == "delta" && !prev.contains(f.path))
       prev = m.files.map(_.path).toSet
-      added
+      if (added.nonEmpty) groups += ((m, added))
     }
-    if (changeFiles.isEmpty)
+    // canonical name of column `name` from a version-`v` file, at head:
+    // chase rename links that appeared AFTER v (a→b at w1, b→c at w2)
+    def headName(name0: String, v: Long): String = {
+      var name = name0
+      var hops = 0
+      while (hops <= aliasFirstSeen.size) {
+        aliasFirstSeen.get(name) match {
+          case Some((canon, w)) if w > v => name = canon; hops += 1
+          case _ => return name
+        }
+      }
+      name // cycle guard (unreachable: rename chains are acyclic)
+    }
+    val headFields = headM.schema.fieldNames.toSet
+    val parts = groups.result()
+      // one scan per distinct read shape, not per version: the shape is
+      // fully determined by (schema, renames, the alias map applied)
+      .groupBy { case (m, _) =>
+        (m.schemaJson, m.renames,
+          m.schema.fieldNames.map(n => n -> headName(n, m.version)).toMap)
+      }
+      .map { case ((_, _, toHead), grp) =>
+        val m = grp.head._1
+        val files = grp.flatMap(_._2)
+        val df = canonicalize(m,
+          spark.read.schema(physicalSchema(m)).parquet(files.map(_.path): _*))
+        val renamed = toHead.foldLeft(df) { case (d, (from, to)) =>
+          if (from != to) d.withColumnRenamed(from, to) else d
+        }
+        val unknown = renamed.columns.filterNot(headFields.contains)
+        if (unknown.nonEmpty) throw new IllegalStateException(
+          s"changesSince($fromVersion): version ${m.version} change files " +
+            s"carry column(s) ${unknown.mkString(", ")} that map to no " +
+            "head-schema column — rename lineage was lost for this " +
+            "interval; fail-fast instead of streaming NULLs")
+        // align to the head schema (older deltas lack later-evolved cols)
+        renamed.select(headM.schema.fields.toIndexedSeq.map { f =>
+          if (renamed.columns.contains(f.name)) col(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], headM.schema)
-    else
-      canonicalize(headM, spark.read.schema(physicalSchema(headM))
-        .parquet(changeFiles.map(_.path): _*))
+    else parts.reduce(_.unionByName(_))
   }
 
   def lastCommittedEpoch: Long = currentManifest.map(_.epochWatermark).getOrElse(-1L)

@@ -46,7 +46,11 @@ object Maintenance {
     * path may disappear between listing and visiting — `Files.walk`'s
     * fail-fast iterator would abort the whole pass (observed as
     * UncheckedIOException(NoSuchFileException) under the ConcurrencySpec
-    * race). A vanished entry simply isn't vacuum's to reclaim. */
+    * race). A vanished entry simply isn't vacuum's to reclaim. Recursion
+    * never follows symlinks (matching `Files.walk`'s default): a link
+    * loop under data/ would otherwise hang the walk, and a link pointing
+    * outside the table root would pull foreign paths into the
+    * deletion-candidate set. */
   private def safeWalk(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     def go(p: java.nio.file.Path): Unit = {
@@ -58,7 +62,7 @@ object Maintenance {
         }
       children.foreach { c =>
         out += c
-        if (Files.isDirectory(c)) go(c)
+        if (Files.isDirectory(c, java.nio.file.LinkOption.NOFOLLOW_LINKS)) go(c)
       }
     }
     go(root)

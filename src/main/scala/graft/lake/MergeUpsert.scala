@@ -88,7 +88,12 @@ object MergeUpsert {
     * maintenance entries) until `lineage` fits `cap`, advancing the epoch
     * floor over the contiguously-dropped range. Epochs below the returned
     * floor are provably committed: commits are ascending-contiguous, so a
-    * truncated entry was committed before every retained one. */
+    * truncated entry was committed before every retained one. That
+    * contiguity is load-bearing — `epoch < floor` is later treated as
+    * proof-of-commit (exactly-once no-op) — so truncation VERIFIES it:
+    * the dropped keys must form exactly the range [floor, newFloor), and
+    * a gap (a caller having violated ascending-contiguous commits) is a
+    * loud error here instead of silently swallowed re-deliveries later. */
   private[graft] def truncateLineage(lineage: Map[String, String],
       floor: Long, cap: Int): (Map[String, String], Long) = {
     if (lineage.size <= cap) return (lineage, floor)
@@ -99,7 +104,12 @@ object MergeUpsert {
     var lin = lineage
     var fl = floor
     epochKeys.take(lineage.size - cap).foreach { case (k, e) =>
-      lin -= k; fl = math.max(fl, e + 1)
+      require(e == fl,
+        s"lineage truncation: dropping epoch $e but the floor is $fl — " +
+          "the registry has a gap, so epochs below the floor would no " +
+          "longer be provably committed (ascending-contiguous commit " +
+          "order was violated)")
+      lin -= k; fl = e + 1
     }
     if (lin.size > cap) { // epoch entries alone didn't cover the excess
       val maint = lin.keys.filterNot(_.startsWith("epoch_"))

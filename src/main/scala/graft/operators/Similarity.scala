@@ -22,18 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) as a Column over two array<float/double> columns. */
+  /** dot(a,b) as a Column over two array<float/double> columns. (HOF form,
+    * kept for composition; the hot cosine path uses the native fused
+    * expression below.) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
-  }
+  /** Cosine similarity — the native codegen'd [[graft.functions.CosineSim]]
+    * (one fused loop: dot + both norms). The equivalent
+    * `aggregate(zip_with(...))` tree is interpreted per element and ran
+    * three HOF folds per pair; it was the dominant per-pair cost of both
+    * ANN paths. FP semantics (element order, per-element double casts,
+    * `nn == 0 → 0.0`, null element / length mismatch → NULL) are identical
+    * — SimilaritySpec pins exactness against plain Scala. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding self-matches by id). Deterministic tie-break on

@@ -78,6 +78,37 @@ object DomainOracle {
     }.toSeq.sorted
   }
 
+  /** VISIT_DETAIL: `repo|path|commit|seq|preceding_commit|rank` — the
+    * visit chain plus the within-repo ROW_NUMBER over (seq, path). */
+  def visitDetailLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(_.repo).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(r => (r.seq, r.path))
+      ordered.zipWithIndex.zip(None +: ordered.init.map(r => Some(r.commit)))
+        .map { case ((r, i), prev) =>
+          s"${r.repo}|${r.path}|${r.commit}|${r.seq}|${opt(prev)}|${i + 1}"
+        }
+    }.sorted
+
+  /** PROCEDURE_OCCURRENCE: `repo|path|ext|rank|sha256(content)` — the
+    * path-extension concept enriched with the VISIT_DETAIL rank (the
+    * second link of the 2-deep chain). */
+  def procedureLines(state: Map[(String, String), State]): Seq[String] = {
+    val ranks: Map[(String, String), Int] =
+      state.values.groupBy(_.repo).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (r.seq, r.path)).zipWithIndex
+          .map { case (r, i) => (r.repo, r.path) -> (i + 1) }
+      }.toMap
+    state.values.map { r =>
+      // substring_index(path, '.', -1): after the last '.', whole if none
+      val ext = r.path.lastIndexOf('.') match {
+        case -1 => r.path
+        case i => r.path.substring(i + 1)
+      }
+      s"${r.repo}|${r.path}|$ext|${ranks((r.repo, r.path))}|" +
+        s"${FoldOracle.sha256Hex(r.content)}"
+    }.toSeq.sorted
+  }
+
   def digest(lines: Seq[String]): String =
     FoldOracle.sha256Hex(lines.mkString("\n"))
 }

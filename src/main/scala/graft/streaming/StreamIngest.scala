@@ -30,6 +30,33 @@ import graft.lake.{LakeTable, MergeUpsert}
   */
 object StreamIngest {
 
+  /** Guard for an exactly-once SKIP (mergeEpoch returned None because
+    * `batchId <= watermark`): safe only when the skipped batch truly
+    * re-delivers already-merged events. If the checkpoint directory was
+    * recreated AFTER the WAL grew, Structured Streaming renumbers batches
+    * from 0 and packs genuinely NEW events into low-numbered batchIds —
+    * every one of them would silently no-op against the old manifest
+    * watermark and be lost. A new event necessarily carries a seq above
+    * the table's committed `lastSeq`, so one cheap aggregate over the
+    * skipped batch catches the reset: fail the query instead of dropping
+    * data (recovery: a fresh table root, or a backfill replay of the WAL
+    * through [[graft.engine.Replayer]]). */
+  private[streaming] def assertSkipIsReplay(table: LakeTable,
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val batchMax = Option(batch.agg(max(col("seq"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    if (batchMax > table.lastSeq)
+      throw new IllegalStateException(
+        s"batch $batchId skipped as a duplicate epoch, but it carries " +
+          s"seq $batchMax > the table's committed lastSeq ${table.lastSeq} " +
+          "— the streaming checkpoint was reset against a grown WAL and " +
+          "these are NEW events renumbered into an old batchId; failing " +
+          "instead of silently dropping them (replay the WAL into a " +
+          "fresh checkpoint+table, or catch the table up via a batch " +
+          "backfill first)")
+  }
+
   /** Start a streaming merge of `walDir` into `table`.
     *
     * @param trigger `Trigger.AvailableNow()` to drain-and-stop (batch
@@ -57,11 +84,14 @@ object StreamIngest {
         // silently lost forever (mergeEpoch retries lost CAS races
         // internally, so a non-committed result here is a real fault).
         val r = MergeUpsert.mergeEpoch(batch.sparkSession, table, batch, batchId)
-        r.foreach(res =>
-          if (!res.committed)
+        r match {
+          case Some(res) if !res.committed =>
             throw new IllegalStateException(
               s"batch $batchId merged but failed to commit — failing the " +
-                "batch so Structured Streaming re-executes it"))
+                "batch so Structured Streaming re-executes it")
+          case None => assertSkipIsReplay(table, batch, batchId)
+          case _ => ()
+        }
         ()
       }
       .start()
@@ -98,6 +128,10 @@ object StreamIngest {
           if (!res.committed) throw new IllegalStateException(
             s"batch $batchId table ${u.table} merged but failed to " +
               "commit — failing the batch for re-execution")))
+        // the SOURCE skip is the checkpoint-reset hazard (domain skips are
+        // derived recomputations, keyed off the same source watermark)
+        if (ups.exists(u => u.table == "source" && u.result.isEmpty))
+          assertSkipIsReplay(source, batch, batchId)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           val all = source +: domains.map(d => tables(d.name))
           all.foreach(t => graft.lake.Maintenance.compactHotBuckets(

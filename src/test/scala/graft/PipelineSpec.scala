@@ -53,6 +53,17 @@ class PipelineSpec extends SparkSpec {
     (source, domains, tables)
   }
 
+  private def assertDeepDomains(tables: Map[String, LakeTable],
+      st: Map[(String, String), FoldOracle.State]): Unit = {
+    assertDomains(tables, st)
+    assert(lines(tables("visit_detail").snapshot(spark), "repo", "path",
+      "commit", "source_seq", "preceding_commit", "visit_rank")
+      == DomainOracle.visitDetailLines(st), "visit_detail")
+    assert(lines(tables("procedure_occurrence").snapshot(spark), "repo",
+      "path", "procedure_concept", "visit_rank", "procedure_source_value")
+      == DomainOracle.procedureLines(st), "procedure_occurrence")
+  }
+
   test("pipeline maintains all five domain tables epoch-by-epoch " +
       "(per-domain oracle equality, mid-run compaction active)") {
     val (source, domains, tables) = freshPipeline()
@@ -136,6 +147,69 @@ class PipelineSpec extends SparkSpec {
         tables, maxEpoch)
       assertDomains(tables, FoldOracle.expectedState(c.copy(duplicateRate = 0)))
     }
+  }
+
+  test("DEEP topology: 7 tables with a 2-deep domain→domain→domain chain " +
+      "(visit_occurrence → visit_detail → procedure_occurrence) all " +
+      "oracle-match epoch-by-epoch") {
+    val source = new LakeTable(tmpDir("pipe-deep-src"), 8)
+    val domains = Pipeline.omopDomainsDeep(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pipe-deep-dom"), domains, 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    val report = Pipeline.run(spark, events, source, domains, tables,
+      maxEpoch = 5, compactEvery = 3)
+    domains.foreach(d => assert(report.applied(d.name) == (0L to 5L), d.name))
+    assertDeepDomains(tables, oracleState)
+  }
+
+  test("2-level-lag catch-up: both links of the deep chain behind by " +
+      "DIFFERENT amounts resume in dependency order to the oracle state") {
+    val source = new LakeTable(tmpDir("pipe-lag-src"), 8)
+    val deep = Pipeline.omopDomainsDeep(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pipe-lag-dom"), deep, 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Pipeline.run(spark, events, source, deep, tables, maxEpoch = 5,
+      upToEpoch = Some(2))
+    // procedure stalls at 2 (a run that excludes it advances the rest to 3)
+    Pipeline.run(spark, events, source,
+      deep.filterNot(_.name == "procedure_occurrence"), tables,
+      maxEpoch = 5, upToEpoch = Some(3))
+    // then visit_detail stalls at 3 (the next run excludes both links)
+    Pipeline.run(spark, events, source,
+      deep.filterNot(d => d.name == "visit_detail" ||
+        d.name == "procedure_occurrence"), tables,
+      maxEpoch = 5, upToEpoch = Some(4))
+    assert(source.lastCommittedEpoch == 4)
+    assert(tables("visit_occurrence").lastCommittedEpoch == 4)
+    assert(tables("visit_detail").lastCommittedEpoch == 3)
+    assert(tables("procedure_occurrence").lastCommittedEpoch == 2)
+    // full healthy resume: min-watermark restart; each link catches up
+    // from its own lag, each epoch reading its upstream's CURRENT state
+    val resumed = Pipeline.run(spark, events, source, deep, tables,
+      maxEpoch = 5)
+    assert(resumed.applied("visit_detail") == (4L to 5L))
+    assert(resumed.applied("procedure_occurrence") == (3L to 5L))
+    assertDeepDomains(tables, oracleState)
+  }
+
+  test("a full-refresh-scale run in the DISTRIBUTED regime (broadcast gate " +
+      "forced closed) oracle-matches — the reference's full-refresh day, " +
+      "decisions.md:43-58, where an epoch touches ~every group") {
+    // gate at 0: every epoch's affected-group bound exceeds it, so every
+    // domain update takes the shuffle-semi-join path (no driver collect,
+    // no bucket pruning) — semantics must be identical to the broadcast
+    // fast path
+    System.setProperty("graft.pipeline.broadcastGroupLimit", "0")
+    try {
+      val (source, domains, tables) = freshPipeline()
+      // small keyspace ⇒ each 500-event epoch really does touch ~all groups
+      val full = cfg.copy(numRepos = 4, pathsPerRepo = 10)
+      val events = ChangeGen.stream(spark, full).toDF()
+      val report = Pipeline.run(spark, events, source, domains, tables,
+        maxEpoch = 5, compactEvery = 3)
+      domains.foreach(d => assert(report.applied(d.name) == (0L to 5L), d.name))
+      assertDomains(tables, FoldOracle.expectedState(full))
+    } finally System.clearProperty("graft.pipeline.broadcastGroupLimit")
   }
 
   test("a changed DomainDef merge key against an existing root fails fast") {

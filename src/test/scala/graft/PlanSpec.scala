@@ -121,7 +121,8 @@ class PlanSpec extends SparkSpec {
     // epoch-1 update plan for condition (derived group key, non-key group)
     val d = domains.find(_.name == "condition_occurrence").get
     val batch = Pipeline.domainBatchPlan(spark, d, tables(d.name),
-      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L)
+      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L,
+      affectedBound = 100L)
     val p = batch.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size >= 2,
@@ -132,6 +133,42 @@ class PlanSpec extends SparkSpec {
         "broadcast too:\n" + p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline domain update ABOVE the broadcast gate keeps the " +
+      "affected-group set distributed — no driver collect, no forced " +
+      "broadcast: shuffle semi-joins") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Pipeline, Replayer}
+    import graft.lake.LakeTable
+    val source = new LakeTable(tmpDir("plan-big-src"), 4)
+    val events = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(numEvents = 400, epochSize = 200)).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 0)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("plan-big-dom"), domains, 2)
+    Pipeline.run(spark, events, source, domains, tables, maxEpoch = 0)
+    // person: group key == merge key, so the SMALL regime would collect a
+    // LocalRelation + bucket-prune; the LARGE regime must do neither.
+    // Disable Spark's own size-estimate broadcasting so the assertion sees
+    // the gate's choice, not a stats-based rescue of tiny test data.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val person = domains.find(_.name == "person").get
+      val batch = Pipeline.domainBatchPlan(spark, person, tables("person"),
+        source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L,
+        affectedBound = Long.MaxValue)
+      val p = batch.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("LocalTableScan"),
+        "large regime must not driver-collect the group set:\n" + p)
+      assert(!p.contains("BroadcastHashJoin"),
+        "large regime must not force a broadcast of the group set:\n" + p)
+      assert("LeftSemi".r.findAllIn(p).size >= 2,
+        "both restrictions must still be semi-joins:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("tombstone probe bucket-prunes the domain table when group key == merge key") {
@@ -156,7 +193,8 @@ class PlanSpec extends SparkSpec {
     val allPersonFiles = pTable.currentManifest.get.files.map(_.path).toSet
     assert(allPersonFiles.size >= 4, "need multiple buckets to prune across")
     val batch = Pipeline.domainBatchPlan(spark, person, pTable,
-      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L)
+      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L,
+      affectedBound = 1L)
     val readPersonFiles = batch.inputFiles.toSet
       .map((p: String) => new java.net.URI(p).getPath)
       .filter(allPersonFiles.contains)

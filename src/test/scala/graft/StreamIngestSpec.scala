@@ -119,4 +119,28 @@ class StreamIngestSpec extends SparkSpec {
     StreamIngest.start(spark, wal, walSchema, table, tmpDir("ckpt2")).awaitTermination()
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) == d1)
   }
+
+  test("a checkpoint reset against a GROWN WAL fails loudly instead of " +
+      "silently dropping the new events renumbered into old batchIds") {
+    val wal = tmpDir("wal")
+    val table = new LakeTable(tmpDir("lake"), 8)
+    writeWal(wal, cfg, 0, 2000)
+    StreamIngest.start(spark, wal, walSchema, table, tmpDir("ckpt1")).awaitTermination()
+    assert(table.lastSeq == 1999)
+    // the WAL grows, THEN the checkpoint is recreated: batches renumber
+    // from 0, so the batch carrying seqs 2000-3999 arrives as batchId 0 —
+    // at or below the table watermark, where the exactly-once skip would
+    // silently discard it. The guard detects seq > lastSeq and fails.
+    writeWal(wal, cfg, 2000, cfg.numEvents)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamIngest.start(spark, wal, walSchema, table, tmpDir("ckpt2"))
+        .awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("checkpoint was reset"))), ex)
+    // nothing was silently merged or lost-and-marked-done
+    assert(table.lastSeq == 1999)
+  }
 }

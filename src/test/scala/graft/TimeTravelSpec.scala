@@ -60,6 +60,46 @@ class TimeTravelSpec extends SparkSpec {
     assert(table.changesSince(spark, table.currentVersion).count() == 0)
   }
 
+  test("changesSince survives a rename + FULL compaction: pre-rename " +
+      "change files are canonicalized under their own manifest, never " +
+      "read as NULL against the head's cleared mapping") {
+    import org.apache.spark.sql.functions._
+    val table = new LakeTable(tmpDir("tt-ren"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(1))
+    val v0 = table.currentVersion
+    // epoch 2's delta files are written with the PRE-rename physical name
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(2))
+    table.renameColumn("lang", "language")
+    // post-rename epochs (batches still feeding 'lang' are normalized),
+    // then a FULL compaction — which clears the head's rename mapping
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(4))
+    Maintenance.compact(spark, table)
+    assert(table.currentManifest.get.renames.isEmpty, "mapping cleared")
+    // once compaction materializes the rename, the FEED must be migrated
+    // too (a still-'lang' feed would re-introduce the retired name as a
+    // genuinely new column — mergeEpoch's documented semantics)
+    Replayer.run(spark, events.withColumnRenamed("lang", "language"),
+      table, maxEpoch = 5)
+
+    val changes = table.changesSince(spark, v0)
+    // the epoch-2 pre-rename files must surface real values under the
+    // head-canonical name — the silent-NULL regression this test pins
+    assert(changes.filter(col("language").isNull).count() == 0,
+      "pre-rename change files read as NULL language")
+    // consumer contract across the rename: old snapshot (renamed by the
+    // consumer, who observed the DDL) + changes folds to the head state
+    val old = table.readAt(spark, v0).withColumnRenamed("lang", "language")
+    val folded = graft.lake.MergeUpsert.latestPerKey(
+      old.unionByName(changes, allowMissingColumns = true),
+      Seq("updated_seq", "commit"), table.keyCols)
+      .filter(!col("__deleted")).drop("__deleted")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("repo", "path", "commit", "language", "content")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(folded) == rows(table.snapshot(spark)))
+  }
+
   test("compaction does not disturb history; vacuum bounds it") {
     val table = new LakeTable(tmpDir("tt-vac"), 4)
     val events = ChangeGen.stream(spark, cfg).toDF()
