@@ -85,6 +85,23 @@ object BenchEndurance {
       var sinceCompact = 0
       var maintTotal = 0.0
       var folds = 0
+      // vacuum live in the loop: the lineage cap bounds manifest CONTENT;
+      // this proves the FILE story — manifest count and on-disk bytes stay
+      // bounded over long lifetimes because every fold's superseded files
+      // and every pre-floor manifest are reclaimed as the run proceeds.
+      // graceMillis=0 is sound here (single sequential writer — no
+      // in-flight commit can exist); production keeps the default grace.
+      var vacuumSec = 0.0
+      var vacuumRuns = 0
+      var vacuumFiles = 0
+      var vacuumBytes = 0L
+      var vacuumManifestsDropped = 0
+      val manifestsRetained = Vector.newBuilder[Int]
+      def logCount(): Int = {
+        val d = Paths.get(table.root, "_log")
+        if (!Files.exists(d)) 0
+        else scala.util.Using.resource(Files.list(d))(_.count().toInt)
+      }
 
       (0 until epochs by chunkEpochs).foreach { chunkStart =>
         val chunkEnd = math.min(epochs, chunkStart + chunkEpochs)
@@ -119,6 +136,15 @@ object BenchEndurance {
               minDeltaFiles = compactEvery).isDefined) folds += 1
             tMaint = (System.nanoTime() - m0) / 1e9
             sinceCompact = 0
+            val v0 = System.nanoTime()
+            val vr = Maintenance.vacuum(table, retainVersions = 2,
+              graceMillis = 0L)
+            vacuumSec += (System.nanoTime() - v0) / 1e9
+            vacuumRuns += 1
+            vacuumFiles += vr.filesDeleted
+            vacuumBytes += vr.bytesReclaimed
+            vacuumManifestsDropped += vr.manifestsDropped
+            manifestsRetained += logCount()
           }
           maintTotal += tMaint
           val deltas = table.currentManifest.map(_.deltaFiles.size).getOrElse(0)
@@ -137,10 +163,20 @@ object BenchEndurance {
       val finalCompactSec = (System.nanoTime() - f0) / 1e9
       require(table.currentManifest.exists(_.deltaFiles.isEmpty))
       val tableBytes = table.currentManifest.get.files.map(_.bytes).sum
+      locally { // terminal vacuum: disk ends bounded, not just manifest log
+        val v0 = System.nanoTime()
+        val vr = Maintenance.vacuum(table, retainVersions = 2, graceMillis = 0L)
+        vacuumSec += (System.nanoTime() - v0) / 1e9
+        vacuumRuns += 1
+        vacuumFiles += vr.filesDeleted
+        vacuumBytes += vr.bytesReclaimed
+        vacuumManifestsDropped += vr.manifestsDropped
+        manifestsRetained += logCount()
+      }
 
       val all = stats.result()
       val mergeTotal = all.map(_.mergeSec).sum
-      val timedTotal = mergeTotal + maintTotal + finalCompactSec
+      val timedTotal = mergeTotal + maintTotal + finalCompactSec + vacuumSec
       val delivered = totalEvents + totalEvents * cfg.duplicateRate / 1000
       def meanOf(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
       val q = math.max(1, epochs / 4)
@@ -172,6 +208,11 @@ object BenchEndurance {
         f""""bytes_per_event_last_quartile":$bytesPerEventLast%.1f,""" +
         f""""max_delta_files":${all.map(_.deltaFiles).max},""" +
         f""""final_table_bytes":$tableBytes,""" +
+        f""""vacuum":{"runs":$vacuumRuns,"sec":$vacuumSec%.1f,""" +
+        f""""files_deleted":$vacuumFiles,"bytes_reclaimed":$vacuumBytes,""" +
+        f""""manifests_dropped":$vacuumManifestsDropped,""" +
+        f""""manifests_retained_after_each":${
+          manifestsRetained.result().mkString("[", ",", "]")}},""" +
         f""""epoch_merge_sec":$epochCsv}""")
     } finally spark.stop()
   }
