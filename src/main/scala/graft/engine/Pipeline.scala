@@ -137,7 +137,23 @@ object Pipeline {
       DomainDef("procedure_occurrence", Seq("repo", "path"),
         Seq("repo" -> col("repo")),
         (s, src, up) => procedureDomain(s, src, up("visit_detail")),
-        dependsOn = Seq("visit_detail")))
+        dependsOn = Seq("visit_detail")),
+      // OBSERVATION_PERIOD — person-grain A1 rollup (the reference's
+      // Omop_Observation_Period shape: one min/max activity span per
+      // person, ArchitecturePlan.md:51-68 step list)
+      DomainDef("observation_period", Seq("person_source_value"),
+        Seq("person_source_value" -> col("repo")),
+        (_, src, _) => src.groupBy(col("repo").as("person_source_value"))
+          .agg(min(col("updated_seq")).as("period_start_seq"),
+            max(col("updated_seq")).as("period_end_seq"),
+            count(lit(1)).as("n_observations"))),
+      // NOTE — PARTIAL-membership domain: only document-like rows project
+      // a note (the reference's CNExT document/notes extracts); a path
+      // whose lang drifts to code must TOMBSTONE its note row — the
+      // affected-keys-EXCEPT-recomputed path under partial membership
+      DomainDef("note", Seq("repo", "path"),
+        Seq("repo" -> col("repo"), "path" -> col("path")),
+        (_, src, _) => noteDomain(src)))
 
   /** VISIT_DETAIL — one detail row per live (repo, path), derived from the
     * VISIT_OCCURRENCE domain table's epoch state (not from the source):
@@ -173,6 +189,19 @@ object Pipeline {
         substring_index(col("path"), ".", -1).as("procedure_concept"),
         col("visit_rank"),
         col("content_sha").as("procedure_source_value"))
+  }
+
+  /** NOTE — one row per live DOCUMENT-like (repo, path): title from the
+    * last path segment, cleansed-length stats. Code-language paths
+    * contribute no note row, so membership is partial and lang drift
+    * across epochs exercises per-key tombstoning. */
+  def noteDomain(src: DataFrame): DataFrame = {
+    val codeLangs = Seq("scala", "java", "python", "go", "rust", "c")
+    src.filter(!col("lang").isin(codeLangs: _*))
+      .select(col("repo"), col("path"),
+        substring_index(col("path"), "/", -1).as("note_title"),
+        col("lang").as("note_class"),
+        length(col("content")).as("note_chars"))
   }
 
   /** MEASUREMENT with a real upstream dependency: broadcast

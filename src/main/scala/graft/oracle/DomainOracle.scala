@@ -109,6 +109,25 @@ object DomainOracle {
     }.toSeq.sorted
   }
 
+  /** OBSERVATION_PERIOD: one line per repo —
+    * `repo|min_seq|max_seq|n_rows` (person-grain A1 span rollup). */
+  def observationPeriodLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(_.repo).map { case (repo, rows) =>
+      val seqs = rows.map(_.seq)
+      s"$repo|${seqs.min}|${seqs.max}|${rows.size}"
+    }.toSeq.sorted
+
+  /** NOTE: `repo|path|title|class|chars` for NON-code langs only (partial
+    * domain membership — code paths contribute no line). */
+  def noteLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.filterNot(r => codeLangs.contains(r.lang)).map { r =>
+      val title = r.path.lastIndexOf('/') match {
+        case -1 => r.path
+        case i => r.path.substring(i + 1)
+      }
+      s"${r.repo}|${r.path}|$title|${r.lang}|${r.content.length}"
+    }.toSeq.sorted
+
   def digest(lines: Seq[String]): String =
     FoldOracle.sha256Hex(lines.mkString("\n"))
 }

@@ -62,6 +62,13 @@ class PipelineSpec extends SparkSpec {
     assert(lines(tables("procedure_occurrence").snapshot(spark), "repo",
       "path", "procedure_concept", "visit_rank", "procedure_source_value")
       == DomainOracle.procedureLines(st), "procedure_occurrence")
+    assert(lines(tables("observation_period").snapshot(spark),
+      "person_source_value", "period_start_seq", "period_end_seq",
+      "n_observations")
+      == DomainOracle.observationPeriodLines(st), "observation_period")
+    assert(lines(tables("note").snapshot(spark), "repo", "path",
+      "note_title", "note_class", "note_chars")
+      == DomainOracle.noteLines(st), "note")
   }
 
   test("pipeline maintains all five domain tables epoch-by-epoch " +
@@ -149,7 +156,7 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("DEEP topology: 7 tables with a 2-deep domain→domain→domain chain " +
+  test("DEEP topology: 10 tables (source + 9 domains) with a 2-deep " +
       "(visit_occurrence → visit_detail → procedure_occurrence) all " +
       "oracle-match epoch-by-epoch") {
     val source = new LakeTable(tmpDir("pipe-deep-src"), 8)
@@ -261,6 +268,32 @@ class PipelineSpec extends SparkSpec {
     assert(persons == Map("r1" -> 2L, "r2" -> 1L))
     assert(!tables("person").currentManifest.get.schema.fieldNames
       .contains("branch"))
+  }
+
+  test("partial-membership domain: lang drift out of the note class " +
+      "tombstones the note row while the path stays live elsewhere") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val evs = Seq(
+      ChangeEvent(0, 0, "I", "r1", "docs/readme.markdown", "c0", "markdown",
+        "v0", 1),
+      ChangeEvent(1, 0, "I", "r1", "src/a/x.scala", "c1", "scala", "v1", 1),
+      // the markdown path is rewritten as scala: still a live source row,
+      // but no longer a note
+      ChangeEvent(2, 1, "U", "r1", "docs/readme.markdown", "c2", "scala",
+        "v2", 1))
+    val source = new LakeTable(tmpDir("pipe-note-src"), 4)
+    val deep = Pipeline.omopDomainsDeep(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("pipe-note-dom"), deep, 2)
+    Pipeline.run(spark, evs.toDF(), source, deep, tables, maxEpoch = 1)
+    assert(tables("note").snapshot(spark).count() == 0,
+      "drifted path must lose its note row")
+    assert(tables("note").read(spark)
+      .filter(col("path") === "docs/readme.markdown" && col("__deleted"))
+      .count() == 1, "the note tombstone must be physical")
+    assert(tables("visit_occurrence").snapshot(spark)
+      .filter(col("path") === "docs/readme.markdown").count() == 1,
+      "the path itself stays live in full-membership domains")
   }
 
   test("deleting a repo's last path tombstones its derived person row") {
