@@ -57,12 +57,13 @@ object Demo {
     if (engineDigest != oracleDigest) sys.exit(1)
 
     // multi-table pipeline drive: the same WAL feeds a fresh source plus
-    // the five OMOP-shaped domain tables in dependency order; verify the
-    // person table against its plain-Scala fold oracle
-    println("[demo] driving the multi-table pipeline (5 domain tables)...")
+    // the nine OMOP-shaped domain tables (incl. the 2-deep visit_detail →
+    // procedure chain) in dependency order; verify the person table
+    // against its plain-Scala fold oracle
+    println("[demo] driving the multi-table pipeline (9 domain tables)...")
     val pSource = new LakeTable(
       java.nio.file.Files.createTempDirectory("graft-demo-psrc").toString, 16)
-    val domains = Pipeline.omopDomains(spark)
+    val domains = Pipeline.omopDomainsDeep(spark)
     val tables = Pipeline.openDomainTables(
       java.nio.file.Files.createTempDirectory("graft-demo-dom").toString,
       domains, 8)

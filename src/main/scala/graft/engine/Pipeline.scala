@@ -207,12 +207,17 @@ object Pipeline {
   /** MEASUREMENT with a real upstream dependency: broadcast
     * concept-dimension lookup (J10) plus an enrichment join against the
     * PERSON domain table's epoch-state (the reference's visit_detail →
-    * visit_occurrence FK chain, ArchitecturePlan.md:51-68). */
+    * visit_occurrence FK chain, ArchitecturePlan.md:51-68). The person
+    * snapshot is semi-restricted to the affected repos before the
+    * enrichment join, so the upstream side of the join is O(affected
+    * groups), never a full-table shuffle of person per epoch. */
   def measurementDomain(spark: SparkSession, src: DataFrame,
                         person: DataFrame): DataFrame = {
     val dim = Domains.langDimension(spark)
+    val affRepos = src.select("repo").distinct()
     val p = person.select(col("person_source_value").as("repo"),
       col("n_langs").as("repo_n_langs"))
+      .join(affRepos, Seq("repo"), "left_semi")
     src.join(broadcast(dim), Seq("lang"), "left")
       .join(p, Seq("repo"), "left")
       .select(col("repo"), col("path"),

@@ -58,6 +58,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann scoring uses the NATIVE cosine_sim expression, not interpreted HOFs") {
+    // the codegen'd CosineSim cut the |Q|=500 brute rerank 35.1s -> 1.1s;
+    // a regression to aggregate(zip_with(...)) would silently undo that
+    Seq("ann_brute_force", "ann_lsh_bucketed").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("cosine_sim"), s"$q lost the native expression:\n" + p)
+      assert(!p.contains("zip_with"), s"$q fell back to HOF cosine:\n" + p)
+    }
+  }
+
   test("w1 latest-wins plans a single window over one shuffle") {
     val p = plan("w1_latest_wins")
     assert(p.contains("Window"), p)

@@ -100,6 +100,39 @@ class TimeTravelSpec extends SparkSpec {
     assert(rows(folded) == rows(table.snapshot(spark)))
   }
 
+  test("changesSince maps CHAINED renames (a→b then b→c) forward across " +
+      "the interval") {
+    import org.apache.spark.sql.functions._
+    val table = new LakeTable(tmpDir("tt-ren2"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(0))
+    val v0 = table.currentVersion
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(1))
+    table.renameColumn("lang", "language")        // epoch-1 files say 'lang'
+    Replayer.run(spark, events, table, maxEpoch = 5, upToEpoch = Some(3))
+    table.renameColumn("language", "dialect")     // 2-3 files say 'language'
+    Replayer.run(spark,
+      events.withColumnRenamed("lang", "language"), // feed may use any alias
+      table, maxEpoch = 5, upToEpoch = Some(4))
+    Maintenance.compact(spark, table)             // clears BOTH mappings
+    Replayer.run(spark, events.withColumnRenamed("lang", "dialect"),
+      table, maxEpoch = 5)
+    val changes = table.changesSince(spark, v0)
+    assert(changes.columns.contains("dialect") &&
+      !changes.columns.contains("lang") && !changes.columns.contains("language"))
+    assert(changes.filter(col("dialect").isNull).count() == 0,
+      "every generation of physical name must fold into the head column")
+    val old = table.readAt(spark, v0).withColumnRenamed("lang", "dialect")
+    val folded = graft.lake.MergeUpsert.latestPerKey(
+      old.unionByName(changes, allowMissingColumns = true),
+      Seq("updated_seq", "commit"), table.keyCols)
+      .filter(!col("__deleted")).drop("__deleted")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("repo", "path", "commit", "dialect", "content")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(folded) == rows(table.snapshot(spark)))
+  }
+
   test("compaction does not disturb history; vacuum bounds it") {
     val table = new LakeTable(tmpDir("tt-vac"), 4)
     val events = ChangeGen.stream(spark, cfg).toDF()
