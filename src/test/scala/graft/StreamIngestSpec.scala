@@ -68,13 +68,14 @@ class StreamIngestSpec extends SparkSpec {
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracleDigest(cfg))
   }
 
-  test("streaming multi-table pipeline: every domain table converges; " +
-      "restart resumes mid-stream") {
+  test("streaming multi-table pipeline: every domain table converges " +
+      "(DEEP 9-domain topology incl. the 2-deep chain); restart resumes " +
+      "mid-stream") {
     import graft.engine.Pipeline
     import graft.oracle.DomainOracle
     val wal = tmpDir("pwal"); val ckpt = tmpDir("pckpt")
     val source = new LakeTable(tmpDir("plake"), 8)
-    val domains = Pipeline.omopDomains(spark)
+    val domains = Pipeline.omopDomainsDeep(spark)
     val tables = Pipeline.openDomainTables(tmpDir("pdom"), domains, 4)
 
     // first tranche, bounded batches → several pipeline epochs
@@ -106,6 +107,15 @@ class StreamIngestSpec extends SparkSpec {
       "source_seq", "content_len") == DomainOracle.drugLines(st))
     assert(lines("measurement", "repo", "path", "measurement_concept",
       "value_source_value", "repo_n_langs") == DomainOracle.measurementLines(st))
+    assert(lines("visit_detail", "repo", "path", "commit", "source_seq",
+      "preceding_commit", "visit_rank") == DomainOracle.visitDetailLines(st))
+    assert(lines("procedure_occurrence", "repo", "path", "procedure_concept",
+      "visit_rank", "procedure_source_value") == DomainOracle.procedureLines(st))
+    assert(lines("observation_period", "person_source_value",
+      "period_start_seq", "period_end_seq", "n_observations")
+      == DomainOracle.observationPeriodLines(st))
+    assert(lines("note", "repo", "path", "note_title", "note_class",
+      "note_chars") == DomainOracle.noteLines(st))
   }
 
   test("re-running a fully-drained stream with a fresh checkpoint is a harmless replay") {
