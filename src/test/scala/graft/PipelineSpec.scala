@@ -219,6 +219,41 @@ class PipelineSpec extends SparkSpec {
     } finally System.clearProperty("graft.pipeline.broadcastGroupLimit")
   }
 
+  test("affectedKeyBound sums per-epoch distinct-key counts from the " +
+      "source lineage and returns MaxValue for unknown epochs") {
+    import graft.lake.MergeUpsert
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("bound-src"), 4)
+    // epoch 0: 3 distinct keys over 4 events (one within-batch dup)
+    MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.scala", "c0", "scala", "x", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.scala", "c1", "scala", "x", 1),
+      ChangeEvent(2, 0, "I", "r2", "c.go", "c2", "go", "x", 1),
+      ChangeEvent(3, 0, "U", "r1", "a.scala", "c3", "scala", "y", 1)
+    ).toDF(), 0L)
+    // epoch 1: 2 distinct keys
+    MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(4, 1, "U", "r1", "a.scala", "c4", "scala", "z", 1),
+      ChangeEvent(5, 1, "I", "r2", "d.go", "c5", "go", "x", 1)
+    ).toDF(), 1L)
+    assert(Pipeline.affectedKeyBound(source, -1L, 0L) == 3L)
+    assert(Pipeline.affectedKeyBound(source, -1L, 1L) == 5L)
+    assert(Pipeline.affectedKeyBound(source, 0L, 1L) == 2L)
+    // an epoch absent from the registry → unknown → scale-safe MaxValue
+    assert(Pipeline.affectedKeyBound(source, 1L, 2L) == Long.MaxValue)
+  }
+
+  test("lineage truncation over a gapped registry fails loudly (the floor " +
+      "would otherwise vouch for never-committed epochs)") {
+    val gapped = (0 to 9).filterNot(_ == 3)
+      .map(e => s"epoch_$e" -> "events=1 keys=1").toMap
+    val ex = intercept[IllegalArgumentException] {
+      graft.lake.MergeUpsert.truncateLineage(gapped, 0L, 4)
+    }
+    assert(ex.getMessage.contains("gap"))
+  }
+
   test("a changed DomainDef merge key against an existing root fails fast") {
     val (source, domains, tables) = freshPipeline()
     val events = ChangeGen.stream(spark, cfg).toDF()
