@@ -117,17 +117,19 @@ object Pipeline {
       (s, src, up) => measurementDomain(s, src, up("person")),
       dependsOn = Seq("person")))
 
-  /** The DEEP topology: the five domains plus a ≥2-deep dependency chain
-    * — `visit_occurrence → visit_detail → procedure_occurrence` — the
-    * reference's explicit ordering constraint ("Visit Occurrence must
-    * complete before Visit Detail",
-    * /root/reference/Delphi/ArchitecturePlan.md:51-68, with visit_detail
-    * feeding measurement/procedure/drug in its step list,
-    * /root/reference/Delphi/config.yaml:226-241). Catch-up ordering is
-    * subtler here: a domain two links down the chain may be further
-    * behind than its parent, and each must recompute from its upstream's
-    * CURRENT epoch state — PipelineSpec drives both levels lagging by
-    * different amounts. */
+  /** The DEEP topology — the reference's FULL 14-step table list made
+    * node-for-node (/root/reference/Delphi/ArchitecturePlan.md:51-68;
+    * step order /root/reference/Delphi/config.yaml:226-241): the five
+    * base domains plus care_site / location / provider (the no-cross-dep
+    * dimensions, steps 2-4), the visit chain (6→7), procedure (9),
+    * observation → observation_final (11→12 — the reference's two-stage
+    * refinement, here a THREE-deep dependency chain visit_occurrence →
+    * visit_detail → observation → observation_final), specimen (13,
+    * hash-sampled partial membership), observation_period, and note.
+    * Catch-up ordering is subtler down the chain: a domain two or three
+    * links deep may be further behind than its parent, and each must
+    * recompute from its upstream's CURRENT epoch state — PipelineSpec
+    * drives the levels lagging by different amounts. */
   def omopDomainsDeep(spark: SparkSession): Seq[DomainDef] =
     omopDomains(spark) ++ Seq(
       DomainDef("visit_detail", Seq("repo", "path"),
@@ -153,7 +155,59 @@ object Pipeline {
       // affected-keys-EXCEPT-recomputed path under partial membership
       DomainDef("note", Seq("repo", "path"),
         Seq("repo" -> col("repo"), "path" -> col("path")),
-        (_, src, _) => noteDomain(src)))
+        (_, src, _) => noteDomain(src)),
+      // CARE_SITE — step 2, no cross-deps: one row per (repo, top-level
+      // dir) "site", a pure rollup dimension
+      DomainDef("care_site", Seq("repo", "care_site_dir"),
+        Seq("repo" -> col("repo"),
+          "care_site_dir" -> substring_index(col("path"), "/", 1)),
+        (_, src, _) => src.groupBy(col("repo"),
+          substring_index(col("path"), "/", 1).as("care_site_dir"))
+          .agg(count(lit(1)).as("n_site_paths"),
+            countDistinct(col("lang")).as("n_site_langs"),
+            max(col("updated_seq")).as("site_seq"))),
+      // LOCATION — step 3, no cross-deps, and the one CROSS-repo grain:
+      // keyed on the top-level dir alone (a group key that is a function
+      // of `path` only). Coarse-grain caveat: a hot dir's group is most
+      // of the table, so an epoch touching it recomputes near-fully —
+      // inherent to any global rollup (the size gate keeps the
+      // restriction distributed; the aggregate itself stays partial+final)
+      DomainDef("location", Seq("location_dir"),
+        Seq("location_dir" -> substring_index(col("path"), "/", 1)),
+        (_, src, _) => src.groupBy(
+          substring_index(col("path"), "/", 1).as("location_dir"))
+          .agg(countDistinct(col("repo")).as("n_location_repos"),
+            count(lit(1)).as("n_location_paths"))),
+      // PROVIDER — step 4, no cross-deps: one row per (repo, extension)
+      DomainDef("provider", Seq("repo", "provider_ext"),
+        Seq("repo" -> col("repo"),
+          "provider_ext" -> substring_index(col("path"), ".", -1)),
+        (_, src, _) => src.groupBy(col("repo"),
+          substring_index(col("path"), ".", -1).as("provider_ext"))
+          .agg(count(lit(1)).as("n_provider_paths"),
+            max(col("updated_seq")).as("provider_seq"))),
+      // OBSERVATION — step 11, under visit_detail in the reference's
+      // tree: source rows enriched with the detail rank (link 3 of the
+      // chain)
+      DomainDef("observation", Seq("repo", "path"),
+        Seq("repo" -> col("repo")),
+        (s, src, up) => observationDomain(s, src, up("visit_detail")),
+        dependsOn = Seq("visit_detail")),
+      // OBSERVATION_FINAL — step 12: the reference's explicit two-stage
+      // Observation → Observation Final refinement, a domain reading
+      // ANOTHER derived domain's epoch state (chain depth 4:
+      // visit_occurrence → visit_detail → observation → observation_final)
+      DomainDef("observation_final", Seq("repo", "path"),
+        Seq("repo" -> col("repo")),
+        (s, src, up) => observationFinalDomain(s, src, up("observation")),
+        dependsOn = Seq("observation")),
+      // SPECIMEN — step 13: deterministic-hash-sampled PARTIAL membership
+      // (crc32 of the business key, so membership is a stable function of
+      // the key), enriched with the detail rank
+      DomainDef("specimen", Seq("repo", "path"),
+        Seq("repo" -> col("repo")),
+        (s, src, up) => specimenDomain(s, src, up("visit_detail")),
+        dependsOn = Seq("visit_detail")))
 
   /** VISIT_DETAIL — one detail row per live (repo, path), derived from the
     * VISIT_OCCURRENCE domain table's epoch state (not from the source):
@@ -189,6 +243,57 @@ object Pipeline {
         substring_index(col("path"), ".", -1).as("procedure_concept"),
         col("visit_rank"),
         col("content_sha").as("procedure_source_value"))
+  }
+
+  /** OBSERVATION — link 3 of the deep chain: source rows of the affected
+    * groups enriched from the VISIT_DETAIL table's epoch state, the
+    * observed value being the content length (the reference's
+    * Observation step sits under Visit Detail in its dependency tree,
+    * config.yaml:226-241). */
+  def observationDomain(spark: SparkSession, src: DataFrame,
+                        detail: DataFrame): DataFrame = {
+    val affRepos = src.select("repo").distinct()
+    val d = detail.join(affRepos, Seq("repo"), "left_semi")
+      .select(col("repo"), col("path"), col("visit_rank"))
+    src.join(d, Seq("repo", "path"), "left")
+      .select(col("repo"), col("path"),
+        col("lang").as("obs_concept"),
+        length(col("content")).as("obs_value"),
+        col("visit_rank"))
+  }
+
+  /** OBSERVATION_FINAL — the reference's second observation pass
+    * (Observation (11) → Observation Final (12)): reads the OBSERVATION
+    * domain table's epoch state for the affected repos and adds the
+    * within-repo value rank — a derived table of a derived table, the
+    * deepest link of the chain. */
+  def observationFinalDomain(spark: SparkSession, src: DataFrame,
+                             obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val affRepos = src.select("repo").distinct()
+    val w = Window.partitionBy("repo")
+      .orderBy(col("obs_value").desc, col("path").asc)
+    obs.join(affRepos, Seq("repo"), "left_semi")
+      .withColumn("obs_rank", row_number().over(w))
+      .select(col("repo"), col("path"), col("obs_concept"),
+        col("obs_value"), col("obs_rank"))
+  }
+
+  /** SPECIMEN — hash-sampled partial membership (P8 made a domain): only
+    * keys whose crc32 lands in the sample contribute a specimen row, so
+    * membership is a STABLE function of the business key; enrichment from
+    * the VISIT_DETAIL epoch state. */
+  def specimenDomain(spark: SparkSession, src: DataFrame,
+                     detail: DataFrame): DataFrame = {
+    val affRepos = src.select("repo").distinct()
+    val d = detail.join(affRepos, Seq("repo"), "left_semi")
+      .select(col("repo"), col("path"), col("visit_rank"))
+    src.filter(crc32(concat_ws(":", col("repo"), col("path"))) % 4 === 0)
+      .join(d, Seq("repo", "path"), "left")
+      .select(col("repo"), col("path"),
+        col("lang").as("specimen_concept"),
+        col("content_sha").as("specimen_source_value"),
+        col("visit_rank"))
   }
 
   /** NOTE — one row per live DOCUMENT-like (repo, path): title from the
@@ -390,9 +495,13 @@ object Pipeline {
                            affectedEvents: DataFrame,
                            e: Long,
                            affectedBound: Long): Option[MergeUpsert.MergeResult] =
-    MergeUpsert.mergeEpoch(spark, dTable,
+    try MergeUpsert.mergeEpoch(spark, dTable,
       domainBatchPlan(spark, d, dTable, snap, tables, affectedEvents, e,
         affectedBound), e)
+    catch {
+      case scala.util.control.NonFatal(ex) => throw new RuntimeException(
+        s"domain ${d.name} failed at epoch $e: ${ex.getMessage}", ex)
+    }
 
   /** The (lazy) domain-update batch for epoch `e` — exposed separately
     * from the merge so its physical plan is assertable in PlanSpec.

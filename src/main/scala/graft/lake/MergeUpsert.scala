@@ -238,17 +238,33 @@ object MergeUpsert {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(commitDir.toString) }
 
-    val events = obsIn.get("events").asInstanceOf[Long]
+    // A ZERO-row batch (e.g. a derived domain whose epoch touches no
+    // member of its partial membership) executes zero tasks, so the
+    // CollectMetrics operators never run and both observations complete
+    // with EMPTY metric maps — that is the legitimate empty-epoch shape
+    // (the epoch still commits, advancing the watermark). Any other
+    // missing-metrics case is a real defect, guarded below against the
+    // write's file listing: no metrics while files were written fails.
+    val inMetrics = obsIn.get
+    val events = if (inMetrics.isEmpty) 0L
+      else inMetrics("events").asInstanceOf[Long]
     val metricsRow = obs.get
-    val rowsWritten = metricsRow("rows").asInstanceOf[Long]
-    val maxSeq = Option(metricsRow("maxSeq")).map(_.asInstanceOf[Long]).getOrElse(-1L)
-    val deletes = Option(metricsRow("deletes")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val bucketsTouched = metricsRow("buckets").asInstanceOf[Int]
+    val rowsWritten = if (metricsRow.isEmpty) 0L
+      else metricsRow("rows").asInstanceOf[Long]
+    val maxSeq = metricsRow.get("maxSeq").flatMap(Option(_))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val deletes = metricsRow.get("deletes").flatMap(Option(_))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val bucketsTouched = metricsRow.get("buckets")
+      .map(_.asInstanceOf[Int]).getOrElse(0)
 
     // no footer reads on the hot path: bytes from the dir listing, rows
     // from the observation (per-file counts are recomputed at compaction)
     val newFiles = timed("list", epoch) {
       table.listCommitFiles(commitDir).map(_.copy(tier = "delta")) }
+    require(metricsRow.nonEmpty || newFiles.isEmpty,
+      s"mergeEpoch($epoch): write produced ${newFiles.size} files but no " +
+        "observed metrics — metrics were lost, refusing to commit blind")
     val bytesWritten = newFiles.map(_.bytes).sum
 
     val deltaSchema = org.apache.spark.sql.types.StructType(

@@ -93,18 +93,9 @@ object DomainOracle {
     * path-extension concept enriched with the VISIT_DETAIL rank (the
     * second link of the 2-deep chain). */
   def procedureLines(state: Map[(String, String), State]): Seq[String] = {
-    val ranks: Map[(String, String), Int] =
-      state.values.groupBy(_.repo).flatMap { case (_, rows) =>
-        rows.toSeq.sortBy(r => (r.seq, r.path)).zipWithIndex
-          .map { case (r, i) => (r.repo, r.path) -> (i + 1) }
-      }.toMap
+    val ranks = visitRanks(state)
     state.values.map { r =>
-      // substring_index(path, '.', -1): after the last '.', whole if none
-      val ext = r.path.lastIndexOf('.') match {
-        case -1 => r.path
-        case i => r.path.substring(i + 1)
-      }
-      s"${r.repo}|${r.path}|$ext|${ranks((r.repo, r.path))}|" +
+      s"${r.repo}|${r.path}|${ext(r.path)}|${ranks((r.repo, r.path))}|" +
         s"${FoldOracle.sha256Hex(r.content)}"
     }.toSeq.sorted
   }
@@ -127,6 +118,88 @@ object DomainOracle {
       }
       s"${r.repo}|${r.path}|$title|${r.lang}|${r.content.length}"
     }.toSeq.sorted
+
+  /** `substring_index(path, '/', 1)` — prefix up to the first '/'. */
+  def dir1(path: String): String = {
+    val i = path.indexOf('/')
+    if (i < 0) path else path.substring(0, i)
+  }
+
+  /** `substring_index(path, '.', -1)` — after the last '.', whole if none. */
+  def ext(path: String): String = path.lastIndexOf('.') match {
+    case -1 => path
+    case i => path.substring(i + 1)
+  }
+
+  /** Spark's crc32 over UTF-8 bytes (java.util.zip.CRC32 is the same
+    * polynomial) — the specimen membership predicate. */
+  def crc32Of(s: String): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(s.getBytes("UTF-8"))
+    c.getValue
+  }
+
+  /** Within-repo visit rank over (seq, path) — shared by the detail-chain
+    * oracles. */
+  private def visitRanks(state: Map[(String, String), State])
+      : Map[(String, String), Int] =
+    state.values.groupBy(_.repo).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (r.seq, r.path)).zipWithIndex
+        .map { case (r, i) => (r.repo, r.path) -> (i + 1) }
+    }.toMap
+
+  /** CARE_SITE: one line per (repo, dir1(path)) —
+    * `repo|site|n_paths|n_langs|max_seq`. */
+  def careSiteLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(r => (r.repo, dir1(r.path))).map {
+      case ((repo, site), rows) =>
+        s"$repo|$site|${rows.size}|${rows.map(_.lang).toSet.size}|" +
+          s"${rows.map(_.seq).max}"
+    }.toSeq.sorted
+
+  /** LOCATION: one line per dir1(path) ACROSS repos —
+    * `dir|n_repos|n_paths`. */
+  def locationLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(r => dir1(r.path)).map { case (d, rows) =>
+      s"$d|${rows.map(_.repo).toSet.size}|${rows.size}"
+    }.toSeq.sorted
+
+  /** PROVIDER: one line per (repo, ext(path)) — `repo|ext|n_paths|max_seq`. */
+  def providerLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(r => (r.repo, ext(r.path))).map {
+      case ((repo, e), rows) =>
+        s"$repo|$e|${rows.size}|${rows.map(_.seq).max}"
+    }.toSeq.sorted
+
+  /** OBSERVATION: `repo|path|lang|content_len|visit_rank`. */
+  def observationLines(state: Map[(String, String), State]): Seq[String] = {
+    val ranks = visitRanks(state)
+    state.values.map { r =>
+      s"${r.repo}|${r.path}|${r.lang}|${r.content.length}|" +
+        s"${ranks((r.repo, r.path))}"
+    }.toSeq.sorted
+  }
+
+  /** OBSERVATION_FINAL: the observation rows re-ranked within each repo by
+    * (content_len desc, path asc) — `repo|path|lang|content_len|obs_rank`. */
+  def observationFinalLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(_.repo).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (-r.content.length, r.path)).zipWithIndex.map {
+        case (r, i) =>
+          s"${r.repo}|${r.path}|${r.lang}|${r.content.length}|${i + 1}"
+      }
+    }.sorted
+
+  /** SPECIMEN: the crc32-sampled quarter of the keyspace —
+    * `repo|path|lang|sha256(content)|visit_rank`. */
+  def specimenLines(state: Map[(String, String), State]): Seq[String] = {
+    val ranks = visitRanks(state)
+    state.values.filter(r => crc32Of(s"${r.repo}:${r.path}") % 4 == 0).map {
+      r =>
+        s"${r.repo}|${r.path}|${r.lang}|${FoldOracle.sha256Hex(r.content)}|" +
+          s"${ranks((r.repo, r.path))}"
+    }.toSeq.sorted
+  }
 
   def digest(lines: Seq[String]): String =
     FoldOracle.sha256Hex(lines.mkString("\n"))

@@ -69,6 +69,24 @@ class PipelineSpec extends SparkSpec {
     assert(lines(tables("note").snapshot(spark), "repo", "path",
       "note_title", "note_class", "note_chars")
       == DomainOracle.noteLines(st), "note")
+    assert(lines(tables("care_site").snapshot(spark), "repo",
+      "care_site_dir", "n_site_paths", "n_site_langs", "site_seq")
+      == DomainOracle.careSiteLines(st), "care_site")
+    assert(lines(tables("location").snapshot(spark), "location_dir",
+      "n_location_repos", "n_location_paths")
+      == DomainOracle.locationLines(st), "location")
+    assert(lines(tables("provider").snapshot(spark), "repo", "provider_ext",
+      "n_provider_paths", "provider_seq")
+      == DomainOracle.providerLines(st), "provider")
+    assert(lines(tables("observation").snapshot(spark), "repo", "path",
+      "obs_concept", "obs_value", "visit_rank")
+      == DomainOracle.observationLines(st), "observation")
+    assert(lines(tables("observation_final").snapshot(spark), "repo", "path",
+      "obs_concept", "obs_value", "obs_rank")
+      == DomainOracle.observationFinalLines(st), "observation_final")
+    assert(lines(tables("specimen").snapshot(spark), "repo", "path",
+      "specimen_concept", "specimen_source_value", "visit_rank")
+      == DomainOracle.specimenLines(st), "specimen")
   }
 
   test("pipeline maintains all five domain tables epoch-by-epoch " +
@@ -156,9 +174,10 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("DEEP topology: 10 tables (source + 9 domains) with a 2-deep " +
-      "(visit_occurrence → visit_detail → procedure_occurrence) all " +
-      "oracle-match epoch-by-epoch") {
+  test("DEEP topology: 16 tables (source + 15 domains, the reference's " +
+      "full step list) with a 3-deep chain (visit_occurrence → " +
+      "visit_detail → observation → observation_final) all oracle-match " +
+      "epoch-by-epoch") {
     val source = new LakeTable(tmpDir("pipe-deep-src"), 8)
     val domains = Pipeline.omopDomainsDeep(spark)
     val tables = Pipeline.openDomainTables(tmpDir("pipe-deep-dom"), domains, 4)
@@ -169,7 +188,7 @@ class PipelineSpec extends SparkSpec {
     assertDeepDomains(tables, oracleState)
   }
 
-  test("2-level-lag catch-up: both links of the deep chain behind by " +
+  test("multi-level-lag catch-up: links of the deep chain behind by " +
       "DIFFERENT amounts resume in dependency order to the oracle state") {
     val source = new LakeTable(tmpDir("pipe-lag-src"), 8)
     val deep = Pipeline.omopDomainsDeep(spark)
@@ -177,25 +196,32 @@ class PipelineSpec extends SparkSpec {
     val events = ChangeGen.stream(spark, cfg).toDF()
     Pipeline.run(spark, events, source, deep, tables, maxEpoch = 5,
       upToEpoch = Some(2))
-    // procedure stalls at 2 (a run that excludes it advances the rest to 3)
+    // the chain TAILS stall at 2 (a run that excludes them advances the
+    // rest to 3)
     Pipeline.run(spark, events, source,
-      deep.filterNot(_.name == "procedure_occurrence"), tables,
+      deep.filterNot(d => d.name == "procedure_occurrence" ||
+        d.name == "observation_final"), tables,
       maxEpoch = 5, upToEpoch = Some(3))
-    // then visit_detail stalls at 3 (the next run excludes both links)
+    // then the MIDDLE links stall at 3 (the next run excludes both levels)
     Pipeline.run(spark, events, source,
-      deep.filterNot(d => d.name == "visit_detail" ||
-        d.name == "procedure_occurrence"), tables,
+      deep.filterNot(d => Set("visit_detail", "procedure_occurrence",
+        "observation", "observation_final", "specimen")(d.name)), tables,
       maxEpoch = 5, upToEpoch = Some(4))
     assert(source.lastCommittedEpoch == 4)
     assert(tables("visit_occurrence").lastCommittedEpoch == 4)
     assert(tables("visit_detail").lastCommittedEpoch == 3)
+    assert(tables("observation").lastCommittedEpoch == 3)
+    assert(tables("specimen").lastCommittedEpoch == 3)
     assert(tables("procedure_occurrence").lastCommittedEpoch == 2)
+    assert(tables("observation_final").lastCommittedEpoch == 2)
     // full healthy resume: min-watermark restart; each link catches up
     // from its own lag, each epoch reading its upstream's CURRENT state
     val resumed = Pipeline.run(spark, events, source, deep, tables,
       maxEpoch = 5)
     assert(resumed.applied("visit_detail") == (4L to 5L))
+    assert(resumed.applied("observation") == (4L to 5L))
     assert(resumed.applied("procedure_occurrence") == (3L to 5L))
+    assert(resumed.applied("observation_final") == (3L to 5L))
     assertDeepDomains(tables, oracleState)
   }
 

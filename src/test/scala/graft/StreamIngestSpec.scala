@@ -69,7 +69,7 @@ class StreamIngestSpec extends SparkSpec {
   }
 
   test("streaming multi-table pipeline: every domain table converges " +
-      "(DEEP 9-domain topology incl. the 2-deep chain); restart resumes " +
+      "(DEEP 15-domain topology incl. the 3-deep chain); restart resumes " +
       "mid-stream") {
     import graft.engine.Pipeline
     import graft.oracle.DomainOracle
@@ -116,6 +116,18 @@ class StreamIngestSpec extends SparkSpec {
       == DomainOracle.observationPeriodLines(st))
     assert(lines("note", "repo", "path", "note_title", "note_class",
       "note_chars") == DomainOracle.noteLines(st))
+    assert(lines("care_site", "repo", "care_site_dir", "n_site_paths",
+      "n_site_langs", "site_seq") == DomainOracle.careSiteLines(st))
+    assert(lines("location", "location_dir", "n_location_repos",
+      "n_location_paths") == DomainOracle.locationLines(st))
+    assert(lines("provider", "repo", "provider_ext", "n_provider_paths",
+      "provider_seq") == DomainOracle.providerLines(st))
+    assert(lines("observation", "repo", "path", "obs_concept", "obs_value",
+      "visit_rank") == DomainOracle.observationLines(st))
+    assert(lines("observation_final", "repo", "path", "obs_concept",
+      "obs_value", "obs_rank") == DomainOracle.observationFinalLines(st))
+    assert(lines("specimen", "repo", "path", "specimen_concept",
+      "specimen_source_value", "visit_rank") == DomainOracle.specimenLines(st))
   }
 
   test("re-running a fully-drained stream with a fresh checkpoint is a harmless replay") {
