@@ -371,6 +371,12 @@ object Pipeline {
       // shuffles of the epoch's dominant cost at scale)
       val snap = source.snapshot(spark)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // upstream domain snapshots are NOT materialized: their restriction
+      // to the affected groups pushes below the latest_by collapse (see
+      // latestPerKey), so each consumer's read is O(affected) — cheaper
+      // at scale than persisting O(table) upstream state per epoch even
+      // when several domains share one upstream
+      def upstreamSnap(n: String): DataFrame = tables(n).snapshot(spark)
       try domains.foreach { d =>
         val dTable = tables(d.name)
         if (dTable.lastCommittedEpoch < e) {
@@ -379,8 +385,8 @@ object Pipeline {
           val missed = events.filter(col("epoch") > dTable.lastCommittedEpoch
             && col("epoch") <= e)
           val bound = affectedKeyBound(source, dTable.lastCommittedEpoch, e)
-          val res = updateDomain(spark, d, dTable, snap, tables, missed, e,
-            bound)
+          val res = updateDomain(spark, d, dTable, snap, upstreamSnap,
+            missed, e, bound)
           updates += TableUpdate(d.name, e, res)
         } else updates += TableUpdate(d.name, e, None)
       } finally snap.unpersist(blocking = false)
@@ -444,6 +450,7 @@ object Pipeline {
       MergeUpsert.mergeEpoch(spark, source, batch, epoch))
     val snap = source.snapshot(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def upstreamSnap(n: String): DataFrame = tables(n).snapshot(spark)
     try domains.foreach { d =>
       val dTable = tables(d.name)
       if (dTable.lastCommittedEpoch < epoch) {
@@ -452,7 +459,7 @@ object Pipeline {
             s"more than one behind batch $epoch — catch it up with the " +
             "batch Pipeline.run before streaming")
         updates += TableUpdate(d.name, epoch,
-          updateDomain(spark, d, dTable, snap, tables, batch, epoch,
+          updateDomain(spark, d, dTable, snap, upstreamSnap, batch, epoch,
             affectedKeyBound(source, epoch - 1, epoch)))
       } else updates += TableUpdate(d.name, epoch, None)
     } finally snap.unpersist(blocking = false)
@@ -491,12 +498,12 @@ object Pipeline {
     * source state, tombstone vanished groups, merge as epoch `e`. */
   private def updateDomain(spark: SparkSession, d: DomainDef,
                            dTable: LakeTable, snap: DataFrame,
-                           tables: Map[String, LakeTable],
+                           upstreamSnap: String => DataFrame,
                            affectedEvents: DataFrame,
                            e: Long,
                            affectedBound: Long): Option[MergeUpsert.MergeResult] =
     try MergeUpsert.mergeEpoch(spark, dTable,
-      domainBatchPlan(spark, d, dTable, snap, tables, affectedEvents, e,
+      domainBatchPlan(spark, d, dTable, snap, upstreamSnap, affectedEvents, e,
         affectedBound), e)
     catch {
       case scala.util.control.NonFatal(ex) => throw new RuntimeException(
@@ -514,7 +521,7 @@ object Pipeline {
     * driver. */
   private[graft] def domainBatchPlan(spark: SparkSession, d: DomainDef,
                            dTable: LakeTable, snap: DataFrame,
-                           tables: Map[String, LakeTable],
+                           upstreamSnap: String => DataFrame,
                            affectedEvents: DataFrame,
                            e: Long,
                            affectedBound: Long): DataFrame = {
@@ -551,7 +558,7 @@ object Pipeline {
       .select(snap.columns.toIndexedSeq.map(col): _*)
 
     val upstream: Map[String, DataFrame] =
-      d.dependsOn.map(n => n -> tables(n).snapshot(spark)).toMap
+      d.dependsOn.map(n => n -> upstreamSnap(n)).toMap
     val fresh0 = d.transform(spark, snapRestricted, upstream)
     // `updated_seq` is the lake's reserved merge-ordering column; a domain
     // attribute carrying that name (visitChain/drugLike expose the source

@@ -296,6 +296,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
 
   private def readFrom(spark: SparkSession, m: Manifest,
                        buckets: Option[Set[Int]]): DataFrame = {
+    graft.plans.PushSemiBelowCollapse.ensureInstalled(spark)
     val raw = readRawFrom(spark, m, buckets)
     if (m.deltaFiles.isEmpty || raw.columns.isEmpty) raw
     else MergeUpsert.latestPerKey(raw, Seq("updated_seq", "commit"), m.keyCols)

@@ -71,9 +71,18 @@ object MergeUpsert {
                    keyCols: Seq[String] = DefaultKeyCols): DataFrame = {
     val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(ordCols.map(col): _*)
+    // Key columns project from the GROUPING attributes (equal to the
+    // winner's key by construction), NOT out of the latest_by struct: a
+    // semi-join restriction on the key then references grouping
+    // attributes, so Catalyst's PushDownLeftSemiAntiJoin drives it below
+    // this aggregate to the scan — an affected-groups probe over a
+    // snapshot reads O(affected), never collapsing the whole table first
+    // (struct-field references block that rule). Column order preserved.
     df.groupBy(keyCols.map(col): _*)
       .agg(graft.functions.LatestBy(payload, ord).as("__w"))
-      .select(col("__w.*"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (keyCols.contains(c)) col(c)
+        else col("__w").getField(c).as(c)): _*)
   }
 
   /** Cap on lineage entries carried in the HEAD manifest. Without a bound

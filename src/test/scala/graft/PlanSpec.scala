@@ -131,8 +131,8 @@ class PlanSpec extends SparkSpec {
     // epoch-1 update plan for condition (derived group key, non-key group)
     val d = domains.find(_.name == "condition_occurrence").get
     val batch = Pipeline.domainBatchPlan(spark, d, tables(d.name),
-      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L,
-      affectedBound = 100L)
+      source.snapshot(spark), n => tables(n).snapshot(spark),
+      events.filter(col("epoch") === 1), 1L, affectedBound = 100L)
     val p = batch.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size >= 2,
@@ -167,8 +167,8 @@ class PlanSpec extends SparkSpec {
     try {
       val person = domains.find(_.name == "person").get
       val batch = Pipeline.domainBatchPlan(spark, person, tables("person"),
-        source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L,
-        affectedBound = Long.MaxValue)
+        source.snapshot(spark), n => tables(n).snapshot(spark),
+        events.filter(col("epoch") === 1), 1L, affectedBound = Long.MaxValue)
       val p = batch.queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("LocalTableScan"),
@@ -203,8 +203,8 @@ class PlanSpec extends SparkSpec {
     val allPersonFiles = pTable.currentManifest.get.files.map(_.path).toSet
     assert(allPersonFiles.size >= 4, "need multiple buckets to prune across")
     val batch = Pipeline.domainBatchPlan(spark, person, pTable,
-      source.snapshot(spark), tables, events.filter(col("epoch") === 1), 1L,
-      affectedBound = 1L)
+      source.snapshot(spark), n => tables(n).snapshot(spark),
+      events.filter(col("epoch") === 1), 1L, affectedBound = 1L)
     val readPersonFiles = batch.inputFiles.toSet
       .map((p: String) => new java.net.URI(p).getPath)
       .filter(allPersonFiles.contains)
@@ -214,6 +214,61 @@ class PlanSpec extends SparkSpec {
     assert(readPersonFiles.map(f =>
       "bucket=\\d+".r.findFirstIn(f).get).size == 1,
       s"all files read must come from the single affected bucket: $readPersonFiles")
+  }
+
+  test("a key-restricted snapshot probe pushes the semi-join BELOW the " +
+      "latest_by collapse to the scan — O(affected), never " +
+      "collapse-the-world (latestPerKey projects grouping attributes)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import graft.engine.Replayer
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("push-src"), 4)
+    val events = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(numEvents = 400, epochSize = 200)).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 1)
+    assert(source.currentManifest.get.deltaFiles.nonEmpty,
+      "collapse must be active for this test")
+    val aff = Seq("repo-1", "repo-2").toDF("repo")
+    val restricted = source.snapshot(spark)
+      .join(broadcast(aff), Seq("repo"), "left_semi")
+    val opt = restricted.queryExecution.optimizedPlan
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, "expected a LeftSemi join:\n" + opt)
+    assert(semis.forall(j =>
+      j.left.collect { case a: Aggregate => a }.isEmpty),
+      "the semi-join must sit below the latest_by aggregate (restriction " +
+        "pushed to the scan):\n" + opt)
+  }
+
+  test("deep-chain domain update semi-restricts its UPSTREAM domain table " +
+      "— observation_final reads observation via the affected-repo " +
+      "semi-join, never a full-table shuffle") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Pipeline, Replayer}
+    import graft.lake.LakeTable
+    val source = new LakeTable(tmpDir("plan-deep-src"), 4)
+    val events = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(numEvents = 400, epochSize = 200)).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 0)
+    val deep = Pipeline.omopDomainsDeep(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("plan-deep-dom"), deep, 2)
+    Pipeline.run(spark, events, source, deep, tables, maxEpoch = 0)
+    val d = deep.find(_.name == "observation_final").get
+    val batch = Pipeline.domainBatchPlan(spark, d, tables(d.name),
+      source.snapshot(spark), n => tables(n).snapshot(spark),
+      events.filter(col("epoch") === 1), 1L, affectedBound = 100L)
+    val p = batch.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // three semi-restrictions: source snapshot, upstream observation
+    // table, and the tombstone probe's domain table — all broadcast
+    assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size >= 3,
+      "source, upstream-domain and tombstone restrictions must all be " +
+        "broadcast semi-joins:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("j2 left enrichment broadcasts the dimension side") {
