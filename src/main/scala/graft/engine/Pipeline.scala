@@ -228,22 +228,30 @@ object Pipeline {
         col("preceding_commit"), col("visit_rank"))
   }
 
+  /** Shared scaffold of the detail-chain consumers: restrict the
+    * VISIT_DETAIL epoch state to the repos affected by `src` (the semi
+    * peels below the detail table's collapse — O(affected)), then
+    * left-join its rank onto the source rows by the detail's merge key. */
+  private def enrichedFromDetail(src: DataFrame,
+                                 detail: DataFrame): DataFrame = {
+    val affRepos = src.select("repo").distinct()
+    val d = detail.join(affRepos, Seq("repo"), "left_semi")
+      .select(col("repo"), col("path"), col("visit_rank"))
+    src.join(d, Seq("repo", "path"), "left")
+  }
+
   /** PROCEDURE_OCCURRENCE — the second link of the chain: source rows of
     * the affected groups enriched from the VISIT_DETAIL table's epoch
     * state (FK join on the detail's own merge key), concept derived from
     * the path extension. Depends on visit_detail which depends on
     * visit_occurrence — a 2-deep domain→domain→domain chain. */
   def procedureDomain(spark: SparkSession, src: DataFrame,
-                      detail: DataFrame): DataFrame = {
-    val affRepos = src.select("repo").distinct()
-    val d = detail.join(affRepos, Seq("repo"), "left_semi")
-      .select(col("repo"), col("path"), col("visit_rank"))
-    src.join(d, Seq("repo", "path"), "left")
+                      detail: DataFrame): DataFrame =
+    enrichedFromDetail(src, detail)
       .select(col("repo"), col("path"),
         substring_index(col("path"), ".", -1).as("procedure_concept"),
         col("visit_rank"),
         col("content_sha").as("procedure_source_value"))
-  }
 
   /** OBSERVATION — link 3 of the deep chain: source rows of the affected
     * groups enriched from the VISIT_DETAIL table's epoch state, the
@@ -251,16 +259,12 @@ object Pipeline {
     * Observation step sits under Visit Detail in its dependency tree,
     * config.yaml:226-241). */
   def observationDomain(spark: SparkSession, src: DataFrame,
-                        detail: DataFrame): DataFrame = {
-    val affRepos = src.select("repo").distinct()
-    val d = detail.join(affRepos, Seq("repo"), "left_semi")
-      .select(col("repo"), col("path"), col("visit_rank"))
-    src.join(d, Seq("repo", "path"), "left")
+                        detail: DataFrame): DataFrame =
+    enrichedFromDetail(src, detail)
       .select(col("repo"), col("path"),
         col("lang").as("obs_concept"),
         length(col("content")).as("obs_value"),
         col("visit_rank"))
-  }
 
   /** OBSERVATION_FINAL — the reference's second observation pass
     * (Observation (11) → Observation Final (12)): reads the OBSERVATION
@@ -284,17 +288,14 @@ object Pipeline {
     * membership is a STABLE function of the business key; enrichment from
     * the VISIT_DETAIL epoch state. */
   def specimenDomain(spark: SparkSession, src: DataFrame,
-                     detail: DataFrame): DataFrame = {
-    val affRepos = src.select("repo").distinct()
-    val d = detail.join(affRepos, Seq("repo"), "left_semi")
-      .select(col("repo"), col("path"), col("visit_rank"))
-    src.filter(crc32(concat_ws(":", col("repo"), col("path"))) % 4 === 0)
-      .join(d, Seq("repo", "path"), "left")
+                     detail: DataFrame): DataFrame =
+    enrichedFromDetail(
+      src.filter(crc32(concat_ws(":", col("repo"), col("path"))) % 4 === 0),
+      detail)
       .select(col("repo"), col("path"),
         col("lang").as("specimen_concept"),
         col("content_sha").as("specimen_source_value"),
         col("visit_rank"))
-  }
 
   /** NOTE — one row per live DOCUMENT-like (repo, path): title from the
     * last path segment, cleansed-length stats. Code-language paths
@@ -319,10 +320,14 @@ object Pipeline {
   def measurementDomain(spark: SparkSession, src: DataFrame,
                         person: DataFrame): DataFrame = {
     val dim = Domains.langDimension(spark)
-    val affRepos = src.select("repo").distinct()
-    val p = person.select(col("person_source_value").as("repo"),
-      col("n_langs").as("repo_n_langs"))
-      .join(affRepos, Seq("repo"), "left_semi")
+    // semi-restrict BEFORE renaming the key: the restriction condition
+    // must reference the person table's own column so it can peel below
+    // the snapshot's latest_by collapse (an alias above the semi blocks
+    // the push — PushSemiBelowCollapse does no alias substitution)
+    val affKeys = src.select(col("repo").as("person_source_value")).distinct()
+    val p = person.join(affKeys, Seq("person_source_value"), "left_semi")
+      .select(col("person_source_value").as("repo"),
+        col("n_langs").as("repo_n_langs"))
     src.join(broadcast(dim), Seq("lang"), "left")
       .join(p, Seq("repo"), "left")
       .select(col("repo"), col("path"),
@@ -559,12 +564,7 @@ object Pipeline {
 
     val upstream: Map[String, DataFrame] =
       d.dependsOn.map(n => n -> upstreamSnap(n)).toMap
-    val fresh0 = d.transform(spark, snapRestricted, upstream)
-    // `updated_seq` is the lake's reserved merge-ordering column; a domain
-    // attribute carrying that name (visitChain/drugLike expose the source
-    // row's seq) is preserved under `source_seq`
-    val fresh = if (fresh0.columns.contains("updated_seq"))
-      fresh0.withColumnRenamed("updated_seq", "source_seq") else fresh0
+    val fresh = reserveSeqName(d.transform(spark, snapRestricted, upstream))
 
     // groups that vanished: previously-present domain keys of affected
     // groups with no recomputed row → delete tombstones; scanned with the
@@ -575,13 +575,74 @@ object Pipeline {
       else existing.join(restrictor, groupNames, "left_semi")
         .select(d.keyCols.map(col): _*)
         .except(fresh.select(d.keyCols.map(col): _*))
+    withMergeOrdering(fresh, dels, e)
+  }
 
-    // domain rows order on (seq = epoch, commit): recomputation is
-    // deterministic, so re-merging an epoch rewrites identical rows
+  /** `updated_seq` is the lake's reserved merge-ordering column; a domain
+    * attribute carrying that name (visitChain/drugLike expose the source
+    * row's seq) is preserved under `source_seq`. */
+  private def reserveSeqName(fresh0: DataFrame): DataFrame =
+    if (fresh0.columns.contains("updated_seq"))
+      fresh0.withColumnRenamed("updated_seq", "source_seq") else fresh0
+
+  /** Domain rows order on (seq = epoch, commit): recomputation is
+    * deterministic, so re-merging an epoch rewrites identical rows. */
+  private def withMergeOrdering(fresh: DataFrame, delKeys: DataFrame,
+                                e: Long): DataFrame = {
     val batch = fresh.withColumn("op", lit("U"))
-      .unionByName(dels.withColumn("op", lit("D")), allowMissingColumns = true)
-    val withOrd0 = batch.withColumn("seq", lit(e))
-    if (withOrd0.columns.contains("commit")) withOrd0
-    else withOrd0.withColumn("commit", lit(""))
+      .unionByName(delKeys.withColumn("op", lit("D")),
+        allowMissingColumns = true)
+    val withOrd = batch.withColumn("seq", lit(e))
+    if (withOrd.columns.contains("commit")) withOrd
+    else withOrd.withColumn("commit", lit(""))
+  }
+
+  /** DOMAIN BACKFILL — the reference's TRUNCATE-reload full refresh (S8)
+    * applied to ONE derived table: recompute the domain's FULL state from
+    * the current source snapshot (every group affected, no restriction)
+    * and commit it at the source's watermark epoch, tombstoning stale
+    * keys. This is the API the [[validateTopology]] re-key error points
+    * at: a DomainDef whose key or semantics changed rebuilds into a fresh
+    * root, then resumes normal incremental maintenance from the shared
+    * watermark (also covers corruption recovery). The target's watermark
+    * must be BEHIND the source's — an in-place rebuild of an up-to-date
+    * table would have to overwrite its own committed epoch. Upstream
+    * domains must be caught up to the source watermark, since the
+    * transform reads their CURRENT state. O(table) by design — one
+    * full-refresh epoch, exactly the reference's full-refresh day. */
+  def rebuildDomain(spark: SparkSession, source: LakeTable, d: DomainDef,
+                    tables: Map[String, LakeTable])
+      : Option[MergeUpsert.MergeResult] = {
+    val e = source.lastCommittedEpoch
+    require(e >= 0, "rebuildDomain: source table has no committed epochs")
+    d.dependsOn.foreach { n =>
+      require(tables(n).lastCommittedEpoch == e,
+        s"rebuildDomain(${d.name}): upstream $n is at epoch " +
+          s"${tables(n).lastCommittedEpoch}, not the source watermark $e " +
+          "— catch upstreams up first (the transform reads their current " +
+          "state)")
+    }
+    val dTable = tables(d.name)
+    require(dTable.lastCommittedEpoch < e,
+      s"rebuildDomain(${d.name}): target is already at epoch " +
+        s"${dTable.lastCommittedEpoch} >= source watermark $e — a rebuild " +
+        "commits AT the watermark and must go into a fresh (or lagging) " +
+        "root")
+    dTable.currentManifest.foreach { m =>
+      require(m.keyCols == d.keyCols,
+        s"rebuildDomain(${d.name}): existing table at ${dTable.root} is " +
+          s"keyed on (${m.keyCols.mkString(", ")}) but the DomainDef " +
+          s"declares (${d.keyCols.mkString(", ")}) — rebuild a re-keyed " +
+          "domain into a fresh root")
+    }
+    val snap = source.snapshot(spark)
+    val upstream = d.dependsOn.map(n => n -> tables(n).snapshot(spark)).toMap
+    val fresh = reserveSeqName(d.transform(spark, snap, upstream))
+    val existing = dTable.snapshot(spark)
+    val dels =
+      if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
+      else existing.select(d.keyCols.map(col): _*)
+        .except(fresh.select(d.keyCols.map(col): _*))
+    MergeUpsert.mergeEpoch(spark, dTable, withMergeOrdering(fresh, dels, e), e)
   }
 }

@@ -54,19 +54,27 @@ object PushSemiBelowCollapse extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // peel a deterministic Project when the condition already resolves
-    // below it (the engine's key columns are pass-through attributes)
+    // below it (the engine's key columns are pass-through attributes).
+    // A non-deterministic CONDITION must never move below the collapse:
+    // it would filter row VERSIONS instead of collapsed groups, letting
+    // a stale version win latest_by.
     case j @ Join(p: Project, right, LeftSemi, Some(cond), _)
-        if p.projectList.forall(_.deterministic) &&
+        if cond.deterministic &&
+          p.projectList.forall(_.deterministic) &&
           containsCollapse(p.child) &&
           cond.references.subsetOf(p.child.outputSet ++ right.outputSet) =>
       p.copy(child = j.copy(left = p.child))
-    // peel a deterministic Filter (output = child output; always safe)
-    case j @ Join(f: Filter, _, LeftSemi, Some(_), _)
-        if f.condition.deterministic && containsCollapse(f.child) =>
+    // peel a deterministic Filter (output = child output)
+    case j @ Join(f: Filter, _, LeftSemi, Some(cond), _)
+        if cond.deterministic && f.condition.deterministic &&
+          containsCollapse(f.child) =>
       f.copy(child = j.copy(left = f.child))
-    // land below the collapse aggregate itself
+    // land below the collapse aggregate itself. groupingExpressions must
+    // be non-empty: a GLOBAL aggregate emits one row even over empty
+    // input, so Join(Agg(c), R) ≡ Agg(Join(c, R)) does not hold for it.
     case j @ Join(agg: Aggregate, right, LeftSemi, Some(cond), _)
-        if isCollapse(agg) &&
+        if isCollapse(agg) && agg.groupingExpressions.nonEmpty &&
+          cond.deterministic &&
           agg.aggregateExpressions.forall(_.deterministic) &&
           cond.references.subsetOf(groupingAttrs(agg) ++ right.outputSet) =>
       agg.copy(child = j.copy(left = agg.child))
@@ -82,11 +90,13 @@ object PushSemiBelowCollapse extends Rule[LogicalPlan] {
   }
 
   /** Idempotently register the rule on `spark`'s experimental optimizer
-    * extensions. A racing double-append is harmless (the rule is
-    * idempotent); a lost append is re-attempted on the next lake read. */
-  def ensureInstalled(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_ eq this))
-      spark.experimental.extraOptimizations = cur :+ this
-  }
+    * extensions. The read-modify-write is synchronized on the session's
+    * ExperimentalMethods so a racing concurrent appender (this rule from
+    * another thread, or a third-party rule) is never silently dropped. */
+  def ensureInstalled(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.exists(_ eq this))
+        spark.experimental.extraOptimizations = cur :+ this
+    }
 }

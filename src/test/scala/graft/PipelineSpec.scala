@@ -280,6 +280,39 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("gap"))
   }
 
+  test("rebuildDomain: TRUNCATE-reload of one domain into a fresh root " +
+      "reaches the mid-run oracle state and resumes incremental " +
+      "maintenance from the shared watermark") {
+    import graft.model.ChangeEvent
+    val source = new LakeTable(tmpDir("rebuild-src"), 8)
+    val deep = Pipeline.omopDomainsDeep(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("rebuild-dom"), deep, 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Pipeline.run(spark, events, source, deep, tables, maxEpoch = 5,
+      upToEpoch = Some(3))
+    // the old visit_detail root is retired (re-key / semantics-change
+    // scenario); the rebuilt table lives in a FRESH root
+    val d = deep.find(_.name == "visit_detail").get
+    val rebuilt = new LakeTable(tmpDir("rebuild-vd"), 4, d.keyCols)
+    val tables2 = tables + ("visit_detail" -> rebuilt)
+    assert(Pipeline.rebuildDomain(spark, source, d, tables2).isDefined)
+    assert(rebuilt.lastCommittedEpoch == 3)
+    // full-refresh state == fold oracle over exactly epochs 0-3
+    val st3 = FoldOracle.expectedState(
+      (0L until 2000L).map(graft.gen.ChangeGen.eventAt(cfg, _)))
+    assert(lines(rebuilt.snapshot(spark), "repo", "path", "commit",
+      "source_seq", "preceding_commit", "visit_rank")
+      == DomainOracle.visitDetailLines(st3))
+    // a rebuild of an already-up-to-date target is refused
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.rebuildDomain(spark, source, d, tables2)
+    }
+    assert(ex.getMessage.contains("fresh (or lagging) root"))
+    // incremental maintenance resumes seamlessly over the rebuilt root
+    Pipeline.run(spark, events, source, deep, tables2, maxEpoch = 5)
+    assertDeepDomains(tables2, oracleState)
+  }
+
   test("a changed DomainDef merge key against an existing root fails fast") {
     val (source, domains, tables) = freshPipeline()
     val events = ChangeGen.stream(spark, cfg).toDF()
