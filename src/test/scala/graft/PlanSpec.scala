@@ -243,6 +243,43 @@ class PlanSpec extends SparkSpec {
         "pushed to the scan):\n" + opt)
   }
 
+  test("PushSemiBelowCollapse preserves semantics: restricted snapshot " +
+      "probes return identical rows with the rule installed and removed") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Replayer
+    import graft.lake.LakeTable
+    import spark.implicits._
+    // deltas + tombstones + re-deliveries so the collapse is live and
+    // picking a stale version would change visible rows
+    val source = new LakeTable(tmpDir("equiv-src"), 4)
+    val events = graft.gen.ChangeGen.stream(spark,
+      graft.gen.GenConfig(seed = 77L, numEvents = 900, numRepos = 10,
+        pathsPerRepo = 6, epochSize = 300, pctInsert = 40, pctUpdate = 35,
+        pctDelete = 25, duplicateRate = 100)).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 2)
+    assert(source.currentManifest.get.deltaFiles.nonEmpty)
+    val probes = Seq(
+      Seq("repo-1", "repo-4", "repo-7"),            // partial
+      (0 until 10).map(i => s"repo-$i"),            // all
+      Seq("repo-nope"))                             // none
+    probes.foreach { ps =>
+      val aff = ps.toDF("repo")
+      def probe() = source.snapshot(spark)
+        .join(broadcast(aff), Seq("repo"), "left_semi")
+      val withRule = probe().collect().map(_.toString).sorted.toSeq
+      // build the second DataFrame BEFORE clearing the extension (the
+      // lake read path re-installs it); optimization only runs at the
+      // action, which executes with the rule absent
+      val df2 = probe()
+      val saved = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations = Seq.empty
+      try {
+        val withoutRule = df2.collect().map(_.toString).sorted.toSeq
+        assert(withRule == withoutRule, s"probe $ps diverged")
+      } finally spark.experimental.extraOptimizations = saved
+    }
+  }
+
   test("deep-chain domain update semi-restricts its UPSTREAM domain table " +
       "— observation_final reads observation via the affected-repo " +
       "semi-join, never a full-table shuffle") {
