@@ -138,8 +138,10 @@ object Bench {
     // SYSTEM probes (the multi-table pipeline smoke replays ~20 tiny Spark
     // jobs end-to-end) are timed but reported OUTSIDE the per-query total:
     // one system entry would otherwise dominate the suite number and bury
-    // per-query regressions round-over-round
-    val (sysResults, results) = allResults.partition(_._1.startsWith("pipeline"))
+    // per-query regressions round-over-round. Membership is the explicit
+    // registry next to the query registrations, not a name-prefix match.
+    val (sysResults, results) =
+      allResults.partition(r => SparkEntry.systemProbes.contains(r._1))
     val total = results.map(_._2).sum
     val sysTotal = sysResults.map(_._2).sum
 

@@ -669,10 +669,13 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      // stubbed decode → feature extraction via mapPartitions (batch
-      // shape). The features themselves ARE part of the output (rounded,
-      // as a canonical string) so the rows/hash check pins the decoder;
-      // exact values additionally golden-tested in MultimodalSpec.
+      // decode → feature extraction via mapPartitions (batch shape).
+      // These payloads are text bytes, so they exercise the non-image
+      // fallback path; the REAL ImageIO decode path is pinned against a
+      // PNG fixture in MultimodalSpec. The features themselves ARE part
+      // of the output (rounded, as a canonical string) so the rows/hash
+      // check pins the decoder; exact values golden-tested in
+      // MultimodalSpec.
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media, dims = 8).toDF()
         .select(col("media_id"), col("kind"), col("byte_len"),
@@ -725,6 +728,14 @@ object SparkEntry {
       s.createDataFrame(rows.asJava, schema)
     })
   )
+
+  /** Whole-SYSTEM probes registered in [[queries]] (end-to-end pipeline
+    * replays spanning many Spark jobs). Bench times them in a separate
+    * `system` section, OUTSIDE the per-query suite total — one such entry
+    * would otherwise dominate the suite number and bury per-query
+    * regressions. Membership is explicit here, at the registration site:
+    * an ordinary query is never excluded by accident of its name. */
+  val systemProbes: Set[String] = Set("pipeline_person_table")
 
   /** DuckDB mirror of TextAnalysis.stopwordHits(padded, word): the Spark
     * side pads once in langIdHeuristic and once in stopwordHits, hence the

@@ -303,10 +303,17 @@ object Pipeline {
     * across epochs exercises per-key tombstoning. */
   def noteDomain(src: DataFrame): DataFrame = {
     val codeLangs = Seq("scala", "java", "python", "go", "rust", "c")
-    src.filter(!col("lang").isin(codeLangs: _*))
+    // NULL-safe membership: a NULL lang is NOT a code lang, so it keeps
+    // its note row — a bare `!isin` would three-value the predicate and
+    // silently drop the row (diverging from DomainOracle.noteLines'
+    // filterNot, which keeps it)
+    src.filter(!coalesce(col("lang"), lit("")).isin(codeLangs: _*))
       .select(col("repo"), col("path"),
         substring_index(col("path"), "/", -1).as("note_title"),
         col("lang").as("note_class"),
+        // Spark length() counts CODE POINTS; the oracle mirrors with
+        // codePointCount (String.length counts UTF-16 units and diverges
+        // on non-BMP content)
         length(col("content")).as("note_chars"))
   }
 
@@ -478,7 +485,10 @@ object Pipeline {
     * key (the DomainDef contract), so distinct groups ≤ Σ per-epoch keys.
     * Any epoch missing from the registry (truncated below the lineage
     * floor, or never committed) returns `Long.MaxValue` — unknown means
-    * the scale-safe distributed regime, never a blind broadcast. */
+    * the scale-safe distributed regime, never a blind broadcast. A
+    * PRESENT entry that fails to parse throws (format drift is loud,
+    * never a silent all-distributed slowdown —
+    * [[graft.lake.EpochLineage]] is the single format/parse pair). */
   private[graft] def affectedKeyBound(source: LakeTable,
       fromExclusive: Long, to: Long): Long =
     source.currentManifest match {
@@ -487,17 +497,14 @@ object Pipeline {
         var sum = 0L
         var e = fromExclusive + 1
         while (e <= to) {
-          m.lineage.get(s"epoch_$e")
-            .flatMap(KeysRe.findFirstMatchIn)
-            .map(_.group(1).toLong) match {
-            case Some(k) => sum += k
+          m.lineage.get(s"epoch_$e") match {
+            case Some(entry) => sum += graft.lake.EpochLineage.keysOf(entry)
             case None => return Long.MaxValue
           }
           e += 1
         }
         sum
     }
-  private val KeysRe = "keys=(\\d+)".r
 
   /** One domain's epoch update: recompute affected groups from the merged
     * source state, tombstone vanished groups, merge as epoch `e`. */

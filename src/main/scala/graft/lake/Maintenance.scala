@@ -69,6 +69,10 @@ object Maintenance {
     out.toSeq
   }
 
+  // Wall-clock here is OPERATIONAL (a GC grace window against in-flight
+  // writers), not part of any transform: the engine's determinism rule
+  // covers data transforms only — vacuum never changes table CONTENT,
+  // only which unreferenced files remain on disk.
   private def mtimeOrNow(p: java.nio.file.Path): Long =
     try Files.getLastModifiedTime(p).toMillis
     catch { case _: java.io.IOException => System.currentTimeMillis() }

@@ -43,6 +43,31 @@ import org.apache.spark.sql.functions._
   *    detected via the per-epoch lineage registry and throws rather than
   *    silently dropping the earlier batch.
   */
+/** THE formatter/parser pair for per-epoch lineage registry entries. The
+  * entry value is human-readable, but one field is load-bearing machine
+  * input: `keys=N` feeds [[graft.engine.Pipeline]]'s broadcast-vs-
+  * distributed size gate. Producing and parsing in one object (with a
+  * round-trip test pinning both) makes a format drift a loud test
+  * failure instead of a silent every-epoch-goes-distributed slowdown. */
+object EpochLineage {
+  def format(events: Long, keys: Long, collapsed: Long, deletes: Long,
+             rows: Long, bytes: Long, buckets: Int): String =
+    s"events=$events keys=$keys collapsed=$collapsed deletes=$deletes " +
+      s"rows=$rows bytes=$bytes buckets=$buckets"
+
+  private val KeysRe = "(?:^| )keys=(\\d+)(?: |$)".r
+
+  /** Distinct-key count of a PRESENT entry. A present-but-unparseable
+    * entry is a format drift (or registry corruption) — loud error, never
+    * a silent fallback: the caller's safe default (distributed regime) is
+    * for entries that are MISSING, not mangled. */
+  def keysOf(entry: String): Long =
+    KeysRe.findFirstMatchIn(entry).map(_.group(1).toLong).getOrElse(
+      throw new IllegalStateException(
+        s"lineage entry carries no parseable keys= field: '$entry' — " +
+          "format drift between EpochLineage.format and keysOf"))
+}
+
 object MergeUpsert {
 
   /** The source table's merge key. Derived domain tables key on their own
@@ -295,13 +320,21 @@ object MergeUpsert {
           existing.fieldNames.contains(f.name) || formers.contains(f.name))
         org.apache.spark.sql.types.StructType(existing.fields ++ added).json
     }
-    def lineageEntry = s"epoch_$epoch" -> (s"events=$events keys=$rowsWritten " +
-      s"collapsed=${math.max(0L, events - rowsWritten)} deletes=$deletes " +
-      s"rows=$rowsWritten bytes=$bytesWritten buckets=$bucketsTouched")
+    def lineageEntry = s"epoch_$epoch" -> EpochLineage.format(
+      events, rowsWritten, math.max(0L, events - rowsWritten), deletes,
+      rowsWritten, bytesWritten, bucketsTouched)
     def buildManifest(m: Option[Manifest]): Manifest = {
+      // A FRESH root's first commit may land at epoch N > 0 — a domain
+      // rebuilt at the source watermark (Pipeline.rebuildDomain) or a
+      // domain added to a long-lived pipeline. The floor must seed at
+      // that first committed epoch, not 0: truncation verifies the
+      // dropped range is exactly [floor, newFloor), so a 0-seeded floor
+      // under a first commit at N would fail that contiguity check the
+      // moment the registry overflows — permanently. Epochs below N are
+      // correctly treated as committed (the rebuild incorporated them).
       val (lin, linFloor) = truncateLineage(
         m.map(_.lineage).getOrElse(Map.empty) + lineageEntry,
-        m.map(_.lineageEpochFloor).getOrElse(0L), lineageCap)
+        m.map(_.lineageEpochFloor).getOrElse(epoch), lineageCap)
       Manifest(
         version = m.map(_.version).getOrElse(0L) + 1,
         epochWatermark = epoch,

@@ -116,7 +116,10 @@ object DomainOracle {
         case -1 => r.path
         case i => r.path.substring(i + 1)
       }
-      s"${r.repo}|${r.path}|$title|${r.lang}|${r.content.length}"
+      // code points, not UTF-16 units: Spark's length() counts code
+      // points, so non-BMP content must not diverge the oracle
+      val chars = r.content.codePointCount(0, r.content.length)
+      s"${r.repo}|${r.path}|$title|${r.lang}|$chars"
     }.toSeq.sorted
 
   /** `substring_index(path, '/', 1)` — prefix up to the first '/'. */

@@ -270,6 +270,22 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.affectedKeyBound(source, 1L, 2L) == Long.MaxValue)
   }
 
+  test("EpochLineage format/parse round-trips; a drifted entry is loud, " +
+      "not a silent all-distributed fallback") {
+    import graft.lake.EpochLineage
+    // round-trip pins the format the size gate depends on: if format()
+    // drifts, keysOf() must still find the count or this fails
+    assert(EpochLineage.keysOf(
+      EpochLineage.format(10L, 7L, 3L, 1L, 7L, 4096L, 4)) == 7L)
+    assert(EpochLineage.keysOf("events=1 keys=1") == 1L)
+    // a mangled PRESENT entry throws — unknown-means-distributed is for
+    // MISSING epochs only, a parse failure is a defect
+    val ex = intercept[IllegalStateException] {
+      EpochLineage.keysOf("events=1 nkeys=1 monkeys=9")
+    }
+    assert(ex.getMessage.contains("format drift"))
+  }
+
   test("lineage truncation over a gapped registry fails loudly (the floor " +
       "would otherwise vouch for never-committed epochs)") {
     val gapped = (0 to 9).filterNot(_ == 3)

@@ -170,6 +170,37 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("a root whose FIRST commit is at epoch N>0 truncates lineage cleanly") {
+    // the rebuildDomain shape: a fresh root seeded at the source watermark
+    // (first commit at N=8). The floor must seed at N, not 0 — otherwise
+    // the first lineage truncation finds the oldest entry (epoch_8) above
+    // a floor of 0, fails the contiguity require, and every subsequent
+    // merge/compact on the table throws permanently.
+    val key = "graft.lineage.cap"
+    val prev = sys.props.get(key)
+    sys.props(key) = "6"
+    try {
+      val small = cfg.copy(epochSize = 250L) // 20 epochs
+      val table = freshTable()
+      val events = ChangeGen.stream(spark, small).toDF()
+      (8L to 19L).foreach { e => // 12 commits >> cap 6 → truncation fires
+        assert(MergeUpsert.mergeEpoch(spark, table,
+          events.filter(col("epoch") === e), e).isDefined)
+      }
+      val m = table.currentManifest.get
+      assert(m.lineage.size <= 6, s"lineage must be capped: ${m.lineage.size}")
+      assert(m.lineageEpochFloor > 8L,
+        s"floor must advance past the first committed epoch: ${m.lineageEpochFloor}")
+      // epochs below the FIRST commit are treated as incorporated by the
+      // rebuild — re-delivery is an exactly-once no-op, not an ordering error
+      assert(MergeUpsert.mergeEpoch(spark, table,
+        events.filter(col("epoch") === 3), 3L).isEmpty)
+    } finally {
+      prev match { case Some(v) => sys.props(key) = v
+                   case None => sys.props -= key }
+    }
+  }
+
   test("mid-run incremental compaction interleaves with active replay") {
     // compactEvery=2 over 10 epochs: hot-bucket folds fire WHILE later
     // epochs keep appending deltas, then a full fold closes the run —
