@@ -610,10 +610,21 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-duplicate candidate pairs. bands=8 (r=2): for
-      // J≥0.8 pairs, P(≥1 band collision) = 1-(1-J²)⁸ ≥ 0.9997 — recall
-      // measured against brute-force ground truth in DedupSpec
-      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-          k = 3, numHashes = 16, bands = 8)
+      // J≥0.8 pairs, P(≥1 band collision) = 1-(1-J²)⁸ ≥ 0.9997.
+      // DuckDB-ORACLED: the full minHashLsh code path — coefficients,
+      // signature fold, banding algebra, bucket caps — with md5-derived
+      // base/bucket hashes both engines compute identically (xxhash64's
+      // seeding is not expressible in DuckDB). The library DEFAULT stays
+      // seeded xxhash64 (cheaper + better-distributed at 100 TB); that
+      // path keeps its golden recall pins vs brute-force ground truth in
+      // DedupSpec. Docs with an EMPTY shingle set are excluded up front
+      // on both sides: Spark would band their sentinel signature, SQL's
+      // unnest would drop them — the restriction makes the surfaces equal
+      // by construction.
+      val docs = t(s, dir, "documents")
+        .filter(size(TextAnalysis.shingles(col("text"), 3)) > 0)
+      Dedup.minHashLsh(docs, "doc_id", "text", k = 3, numHashes = 16,
+          bands = 8, baseHash = md5Hash32, bucketHash = md5Hash60)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -622,9 +633,16 @@ object SparkEntry {
       // SimHash banded near-dup candidates w/ exact Hamming distance.
       // 64-bit hash + hamming ≤ 8 (the web-dedup convention): a 32-bit
       // hash at ≤6 admitted ~8% of ALL pairs as "near-dups" on this
-      // corpus — precision/recall vs ground truth measured in DedupSpec
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          nBits = 64, chunks = 8)
+      // corpus. DuckDB-ORACLED like dedup_minhash_lsh above: same
+      // simHashPairs code path and production band geometry (64 bits,
+      // 8 chunks), base hash = a 60-bit md5-derived integer — bits 60-63
+      // degenerate to 0 identically on both engines; the seeded-xxhash64
+      // library default keeps its precision/recall pins in DedupSpec.
+      // Empty-shingle docs excluded as above.
+      val docs = t(s, dir, "documents")
+        .filter(size(TextAnalysis.shingles(col("text"), 2)) > 0)
+      Dedup.simHashPairs(docs, "doc_id", "text", nBits = 64, chunks = 8,
+          baseHash = md5Hash60)
         .filter(col("hamming") <= 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -736,6 +754,137 @@ object SparkEntry {
     * regressions. Membership is explicit here, at the registration site:
     * an ordinary query is never excluded by accident of its name. */
   val systemProbes: Set[String] = Set("pipeline_person_table")
+
+  /** 32-/60-bit non-negative integers from an md5 hex prefix — base
+    * hashes a DuckDB twin oracle recomputes exactly as
+    * `CAST('0x' || substr(md5(x), 1, n) AS BIGINT)`. 15 hex chars = 60
+    * bits keeps every derived sum/product inside a signed 64-bit long. */
+  private def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def duckMd5(expr: String, hexChars: Int): String =
+    s"CAST('0x' || substr(md5($expr), 1, $hexChars) AS BIGINT)"
+
+  /** DuckDB mirror of TextAnalysis.shingles(text, k): split on \s+ of the
+    * lower/trimmed text, then k-word windows joined by single spaces
+    * (list slice bounds are 1-based inclusive). Proven hash-exact against
+    * the Spark form by the dedup_ngram_jaccard oracle since round 3. */
+  private def duckShingleWords: String =
+    s"""SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+           FROM documents"""
+  private def duckShingles(k: Int): String =
+    s"list_transform(range(1, greatest(len(l)-${k - 2}, 1)), " +
+      s"i -> array_to_string(l[i:i+${k - 1}], ' '))"
+
+  /** Oracle for dedup_minhash_md5 — the EXACT MinHashSig + banding
+    * algebra (31-bit-masked universal hashes mod the Mersenne prime,
+    * per-band bucket hash of the comma-joined slots) over md5-derived
+    * base hashes, interpolating the same (a_i, b_i) literals the Spark
+    * expression uses. */
+  private def duckMinHashMd5Sql: String = {
+    val (as, bs) = Dedup.minHashCoefficients(16)
+    val slots = (0 until 16).map(i =>
+      s"list_min(list_transform(hs, h -> (${as(i)} * (h & 2147483647) + " +
+        s"${bs(i)}) % 2147483647))").mkString(",\n                  ")
+    s"""WITH words AS ($duckShingleWords),
+         sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM words),
+         hashed AS (SELECT doc_id,
+                  list_transform(sh, g -> ${duckMd5("g", 8)}) AS hs
+                FROM sh WHERE len(sh) >= 1),
+         sigs AS (SELECT doc_id, [$slots] AS sig FROM hashed),
+         banded AS (SELECT doc_id, sig, b.band,
+                  ${duckMd5("sig[b.band*2+1]::VARCHAR || ',' || sig[b.band*2+2]::VARCHAR", 15)} AS bucket
+                FROM sigs, (SELECT unnest(range(8)) AS band) b),
+         ok AS (SELECT banded.* FROM banded
+                JOIN (SELECT band, bucket FROM banded GROUP BY 1, 2
+                      HAVING count(*) <= 1000) c USING (band, bucket)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_filter(list_zip(a.sig, b.sig),
+                    p -> p[1] = p[2])) AS DOUBLE) / 16.0 AS est_jaccard
+                FROM ok a JOIN ok b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, est_jaccard FROM pairs
+         WHERE est_jaccard >= 0.5"""
+  }
+
+  /** Oracle for dedup_simhash_md5 — the EXACT SimHashBits sign-vote fold
+    * (per bit: +1 if set else -1 across shingle hashes; bit set iff votes
+    * > 0) and chunk banding, over 60-bit md5-derived base hashes. */
+  private def duckSimHashMd5Sql: String =
+    s"""WITH words AS ($duckShingleWords),
+         sh AS (SELECT doc_id, ${duckShingles(2)} AS sh FROM words),
+         ex AS (SELECT doc_id, ${duckMd5("g", 15)} AS h
+                FROM (SELECT doc_id, unnest(sh) AS g FROM sh
+                      WHERE len(sh) >= 1)),
+         votes AS (SELECT doc_id, t.b AS b,
+                  sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM ex, (SELECT unnest(range(64)) AS b) t
+                GROUP BY 1, 2),
+         sigs AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                           ELSE 0 END) AS BIGINT) AS sh
+                FROM votes GROUP BY doc_id),
+         banded AS (SELECT doc_id, sh, c.chunk,
+                  (sh >> (c.chunk * 8)) & 255 AS bucket
+                FROM sigs, (SELECT unnest(range(8)) AS chunk) c),
+         ok AS (SELECT banded.* FROM banded
+                JOIN (SELECT chunk, bucket FROM banded GROUP BY 1, 2
+                      HAVING count(*) <= 1000) c USING (chunk, bucket)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+                FROM ok a JOIN ok b
+                  ON a.chunk = b.chunk AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8"""
+
+  /** Oracle for ann_lsh_bucketed — the REAL production query, fully
+    * SQL-expressible because the SRP hyperplane matrix is a plan-time
+    * constant: the SAME 32×64 literal matrix is interpolated here, so the
+    * signature is plain arithmetic both engines share (index-order double
+    * sums, sign at >= 0), and the rerank reuses the proven cosine shape
+    * from dedup_embedding_cosine's oracle. */
+  private def duckAnnLshSql: String = {
+    val planes = Similarity.planeMatrix(64, 32, 42)
+    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString(", ")
+      s"(CASE WHEN list_sum(list_transform(list_zip(v, [$lits]), " +
+        s"z -> z[1]*z[2])) >= 0 THEN ${1L << i}::BIGINT ELSE 0 END)"
+    }.mkString("\n                + ")
+    s"""WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sigs AS (SELECT vec_id, v, $sigTerms AS sig FROM e),
+         bc AS (SELECT vec_id AS cand_id, v AS cv, b.band,
+                  (sig >> (b.band * 4)) & 15 AS bucket
+                FROM sigs, (SELECT unnest(range(8)) AS band) b),
+         bq AS (SELECT vec_id AS query_id, v AS qv, b.band,
+                  (sig >> (b.band * 4)) & 15 AS bucket
+                FROM sigs, (SELECT unnest(range(8)) AS band) b
+                WHERE vec_id < 5),
+         scored AS (SELECT query_id, cand_id,
+                  CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                            sqrt(list_sum(list_transform(cv, x -> x*x))) = 0
+                       THEN 0.0
+                       ELSE list_sum(list_transform(list_zip(qv, cv),
+                              p -> p[1]*p[2])) /
+                            (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+                             sqrt(list_sum(list_transform(cv, x -> x*x))))
+                       END AS cos
+                FROM bc JOIN bq USING (band, bucket)
+                WHERE cand_id <> query_id),
+         cand AS (SELECT query_id, cand_id, max(cos) AS cos
+                FROM scored GROUP BY 1, 2),
+         ranked AS (SELECT query_id, cand_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, cand_id) AS rank
+                FROM cand)
+         SELECT query_id, cand_id, round(cos, 6) AS cos,
+                CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 10"""
+  }
 
   /** DuckDB mirror of TextAnalysis.stopwordHits(padded, word): the Spark
     * side pads once in langIdHeuristic and once in stopwordHits, hence the
@@ -1224,14 +1373,21 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8""",
 
-    // no oracles (driver records rows-only checks) for: ann_lsh_bucketed,
-    // dedup_minhash_lsh, dedup_simhash, text_fingerprint (xxhash64),
-    // multimodal_features — their hash seeds / stub decoders are not
-    // expressible in DuckDB SQL. Each is instead verified by an in-repo
-    // golden test against brute-force ground truth: DedupSpec
-    // (recall/precision/exactness), SimilaritySpec (recall@10),
-    // TextAnalysisSpec (pinned fingerprints), MultimodalSpec (pinned
-    // features).
+    // no oracles (driver records rows-only checks) for exactly TWO rows:
+    // text_fingerprint (xxhash64's seeding is not expressible in DuckDB;
+    // pinned values in TextAnalysisSpec + the fully-oracled
+    // text_fingerprint_md5 twin of the same code path) and
+    // multimodal_features (an image decoder has no SQL oracle; pinned
+    // PNG-decode + fallback features and partition-invariance in
+    // MultimodalSpec). dedup_minhash_lsh / dedup_simhash /
+    // ann_lsh_bucketed are fully oracled below: the sketch algebra runs
+    // over md5-derived hashes both engines compute identically, and the
+    // SRP hyperplane matrix is a plan-time constant interpolated into the
+    // SQL; the seeded-xxhash64 library defaults keep golden recall pins
+    // in DedupSpec.
+    "dedup_minhash_lsh" -> duckMinHashMd5Sql,
+    "dedup_simhash" -> duckSimHashMd5Sql,
+    "ann_lsh_bucketed" -> duckAnnLshSql,
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -39,24 +39,31 @@ object Dedup {
     * `array((0 until n).map(seed => array_min(transform(shingles, ...))))`
     * inlines the whole shingling expression tree n times and is ~50×
     * slower; measured, not theorized. */
-  def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
+  def minHashSignature(text: Column, k: Int, numHashes: Int,
+                       baseHash: Column => Column = xxhash64(_)): Column = {
     val baseHashes = transform(TextAnalysis.shingles(text, k),
-      s => xxhash64(s))
-    // (a_i, b_i) universal-hash coefficients as one foldable const array;
-    // both operands masked to 31 bits so a*h+b ≤ 2^62 + 2^31 — no long
-    // overflow (Spark 4 runs ANSI mode: wrapping arithmetic THROWS).
-    // The `pmod(..., p)` with Mersenne prime p = 2^31-1 is ESSENTIAL:
-    // without a modulus a*h+b is monotone in h and every slot would pick
-    // the same global-min shingle, degenerating all signatures.
+      s => baseHash(s))
+    val (as, bs) = minHashCoefficients(numHashes)
+    // native codegen'd fold (graft.functions.MinHashSig): the equivalent
+    // aggregate(zip_with(...)) Column tree is interpreted per element and
+    // was the second-most-expensive query in the suite
+    graft.functions.MinHashSig(baseHashes, as, bs)
+  }
+
+  /** (a_i, b_i) universal-hash coefficients, exposed so the DuckDB twin
+    * oracle can interpolate the same literals into SQL. Both operands
+    * masked to 31 bits so a*h+b ≤ 2^62 + 2^31 — no long overflow (Spark 4
+    * runs ANSI mode: wrapping arithmetic THROWS). The later
+    * `mod p` with Mersenne prime p = 2^31-1 is ESSENTIAL: without a
+    * modulus a*h+b is monotone in h and every slot would pick the same
+    * global-min shingle, degenerating all signatures. */
+  def minHashCoefficients(numHashes: Int): (Array[Long], Array[Long]) = {
     val mask31 = 0x7FFFFFFFL
     val as = Array.tabulate(numHashes)(i =>
       (graft.gen.ChangeGen.mix64(i.toLong * 2 + 1) & mask31) | 1L) // odd
     val bs = Array.tabulate(numHashes)(i =>
       graft.gen.ChangeGen.mix64(~i.toLong) & mask31)
-    // native codegen'd fold (graft.functions.MinHashSig): the equivalent
-    // aggregate(zip_with(...)) Column tree is interpreted per element and
-    // was the second-most-expensive query in the suite
-    graft.functions.MinHashSig(baseHashes, as, bs)
+    (as, bs)
   }
 
   /** MinHash + LSH banding: returns candidate near-duplicate pairs
@@ -69,16 +76,18 @@ object Dedup {
     * docs; at 100 TB a single hot bucket would otherwise dominate the join. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000,
+                 baseHash: Column => Column = xxhash64(_),
+                 bucketHash: Column => Column = xxhash64(_)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), k, numHashes).as("sig"))
+      minHashSignature(col(textCol), k, numHashes, baseHash).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", (0 until r).map(i => col("sig")(b * r + i)): _*))
+          bucketHash(concat_ws(",", (0 until r).map(i => col("sig")(b * r + i)): _*))
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -105,9 +114,10 @@ object Dedup {
     * pairs on a 500-doc same-vocabulary corpus; shingle features tie the
     * hash to local word order, the web-dedup standard).
     * Pure array expressions; returns the hash as a long (nBits ≤ 64). */
-  def simHash(text: Column, nBits: Int = 64, shingleK: Int = 2): Column = {
+  def simHash(text: Column, nBits: Int = 64, shingleK: Int = 2,
+              baseHash: Column => Column = xxhash64(_)): Column = {
     val hashes = transform(TextAnalysis.shingles(text, shingleK),
-      t => xxhash64(t))
+      t => baseHash(t))
     // native codegen'd sign-vote fold (graft.functions.SimHashBits): the
     // equivalent aggregate(zip_with(...)) tree interprets N×nBits nodes
     // per row and was the most expensive query in the suite
@@ -119,10 +129,11 @@ object Dedup {
     * Reports exact Hamming distance for downstream thresholding. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    nBits: Int = 64, chunks: Int = 8, shingleK: Int = 2,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000,
+                   baseHash: Column => Column = xxhash64(_)): DataFrame = {
     val width = nBits / chunks
     val hashed = df.select(col(idCol).as("id"),
-      simHash(col(textCol), nBits, shingleK).as("sh"))
+      simHash(col(textCol), nBits, shingleK, baseHash).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),

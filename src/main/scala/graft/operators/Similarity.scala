@@ -76,9 +76,14 @@ object Similarity {
     * slow enough that the LSH path lost to the brute-force baseline. */
   def srpSignature(vec: Column, dims: Int, nPlanes: Int, seed: Int = 42): Column = {
     require(nPlanes <= 63)
-    val planes = Array.tabulate(nPlanes, dims)((p, d) => planeComponent(seed, p, d))
-    graft.functions.SrpSignature(vec, planes)
+    graft.functions.SrpSignature(vec, planeMatrix(dims, nPlanes, seed))
   }
+
+  /** The seeded hyperplane matrix itself — public so the DuckDB oracle
+    * for the LSH ANN query can interpolate the SAME literal matrix into
+    * SQL (the signature is then plain arithmetic both engines share). */
+  def planeMatrix(dims: Int, nPlanes: Int, seed: Int = 42): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims)((p, d) => planeComponent(seed, p, d))
 
   /** LSH-bucketed ANN: bucket by SRP signature bands, exact-cosine rerank
     * within buckets, top-k per query. Trades recall for never comparing a

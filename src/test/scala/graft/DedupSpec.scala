@@ -8,10 +8,12 @@ import graft.operators.Dedup
   * near-dup pairs, all with trigram Jaccard ≥ 0.8, next pair below 0.3 —
   * a clean separation band).
   *
-  * These are the correctness gates for the queries whose hash seeds are
-  * not expressible in DuckDB SQL (dedup_minhash_lsh, dedup_simhash,
-  * dedup_ngram_jaccard): recall/precision floors here are MEASURED values
-  * pinned as regressions, not aspirations — corpus and hash seeds are
+  * These are the correctness gates for the seeded-xxhash64 LIBRARY
+  * DEFAULTS of the sketch operators (the driver-checked query surfaces
+  * run the same code paths over md5-derived hashes a DuckDB oracle
+  * recomputes exactly; xxhash64's seeding is not expressible there):
+  * recall/precision floors here are MEASURED values pinned as
+  * regressions, not aspirations — corpus and hash seeds are
   * deterministic, so the numbers are exact constants.
   */
 class DedupSpec extends SparkSpec {
