@@ -1,10 +1,12 @@
 package graft
 
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.engine.Pipeline
 import graft.gen.{ChangeGen, GenConfig}
 import graft.lake.{LakeTable, Maintenance, MergeUpsert}
-import graft.oracle.FoldOracle
+import graft.oracle.{DomainOracle, FoldOracle}
 
 /** Composition stress for the commit protocol: the individually-tested
   * guarantees (unique staging dirs, CAS re-base on loss, vacuum grace
@@ -88,5 +90,82 @@ class ConcurrencySpec extends SparkSpec {
     val vr = Maintenance.vacuum(table, retainVersions = 1, graceMillis = 0L)
     assert(vr.filesDeleted >= 0)
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) == oracle)
+  }
+
+  test("TWO pipeline drivers race the same roots over overlapping epoch " +
+      "ranges: per-(table,epoch) commits stay exactly-once, every table " +
+      "equals its oracle (the double-scheduled nightly run)") {
+    // The single-table CAS guarantees are individually tested; this
+    // asserts their COMPOSITION across the multi-table pipeline: two
+    // uncoordinated Pipeline.run drivers (the reference's double-scheduled
+    // nightly job) replaying the same epochs against one source + five
+    // domain tables. Every commit slot must be won by exactly one driver
+    // (the loser's merge re-bases into a duplicate-epoch no-op), and a
+    // loser recomputing a domain from a source snapshot NEWER than its
+    // epoch must still converge: the last epoch touching a group always
+    // recomputes it from source state that is final for that group.
+    val cfg = GenConfig(seed = 37L, numEvents = 3000L, numRepos = 12,
+      pathsPerRepo = 40, epochSize = 500L) // 6 epochs
+    val source = new LakeTable(tmpDir("race-src"), 8)
+    val domains = Pipeline.omopDomains(spark)
+    val tables = Pipeline.openDomainTables(tmpDir("race-dom"), domains, 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val reports = new Array[Pipeline.PipelineReport](2)
+    val failure = new AtomicReference[Throwable]()
+    val drivers = Array.tabulate(2) { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          // driver 0 also compacts mid-run: merges on one driver race
+          // compaction commits on the other, like the prod schedule
+          reports(i) = Pipeline.run(spark, events, source, domains, tables,
+            maxEpoch = 5, compactEvery = if (i == 0) 3 else 0)
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      }, s"graft-pipeline-driver-$i")
+    }
+    drivers.foreach(_.start()); drivers.foreach(_.join(600000))
+    assert(failure.get() == null, s"a driver failed: ${failure.get()}")
+    assert(reports.forall(_ != null) && reports.forall(_.updates.nonEmpty),
+      "both drivers must enter the replay loop (the race must be real)")
+
+    // exactly-once composition: each (table, epoch) slot committed by
+    // EXACTLY one driver — the union covers every epoch, the overlap is
+    // empty (the loser observed a duplicate-epoch no-op, never a double
+    // apply, never a lost epoch)
+    ("source" +: domains.map(_.name)).foreach { t =>
+      val a = reports(0).applied(t); val b = reports(1).applied(t)
+      assert((a ++ b).sorted == (0L to 5L),
+        s"$t: epochs lost or doubled — driver0=$a driver1=$b")
+      assert(a.toSet.intersect(b.toSet).isEmpty,
+        s"$t: both drivers claim a commit — driver0=$a driver1=$b")
+    }
+
+    // final state: source byte-equal to the fold oracle, every domain
+    // line-equal to its independent plain-Scala oracle
+    val st = FoldOracle.expectedState(cfg)
+    assert(FoldOracle.digestOfTable(source.snapshot(spark)) ==
+      FoldOracle.digestOfState(st))
+    def lines(df: DataFrame, cols: String*): Seq[String] =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (0 until r.length).map(i =>
+          Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString("|"))
+        .toSeq.sorted
+    assert(lines(tables("person").snapshot(spark), "person_source_value",
+      "n_paths", "n_langs", "langs", "first_path", "modified_seq")
+      == DomainOracle.personLines(st), "person")
+    assert(lines(tables("visit_occurrence").snapshot(spark), "repo", "path",
+      "commit", "source_seq", "preceding_commit")
+      == DomainOracle.visitLines(st), "visit_occurrence")
+    assert(lines(tables("condition_occurrence").snapshot(spark), "repo",
+      "condition_group", "start_seq", "end_seq", "updt_seq", "n_occurrences")
+      == DomainOracle.conditionLines(st), "condition_occurrence")
+    assert(lines(tables("drug_exposure").snapshot(spark), "repo", "path",
+      "exposure_concept", "source_seq", "content_len")
+      == DomainOracle.drugLines(st), "drug_exposure")
+    assert(lines(tables("measurement").snapshot(spark), "repo", "path",
+      "measurement_concept", "value_source_value", "repo_n_langs")
+      == DomainOracle.measurementLines(st), "measurement")
   }
 }
