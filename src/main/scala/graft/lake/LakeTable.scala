@@ -127,6 +127,47 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     if (v == 0) None else Some(readManifest(v))
   }
 
+  /** Whether manifest version `v` is still on disk (committed and not
+    * vacuumed past the retention floor). */
+  def hasVersion(v: Long): Boolean = Files.exists(versionPath(v))
+
+  /** Manifest versions currently on disk, ascending — a contiguous suffix
+    * of the commit history (vacuum drops a prefix). */
+  def versionsOnDisk: Seq[Long] = {
+    val vs = Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .toSeq
+    }
+    vs.sorted
+  }
+
+  /** The LATEST retained manifest version whose epoch watermark is exactly
+    * `epoch` — i.e. the table's most-compacted state as of that epoch
+    * (logically identical to every other version at the same watermark:
+    * maintenance commits change files, never content). None if the table
+    * never committed that epoch or vacuum reclaimed every manifest at it.
+    * Binary search over the on-disk versions: watermarks are
+    * nondecreasing in version order. */
+  def versionAtEpoch(epoch: Long): Option[Long] = {
+    val vs = versionsOnDisk
+    if (vs.isEmpty) return None
+    // largest retained version with watermark <= epoch
+    var lo = 0
+    var hi = vs.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (readManifest(vs(mid)).epochWatermark <= epoch) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (best >= 0 && readManifest(vs(best)).epochWatermark == epoch)
+      Some(vs(best))
+    else None
+  }
+
   def readManifest(v: Long): Manifest = {
     val node = mapper.readTree(Files.readAllBytes(versionPath(v)))
     val m = Manifest(

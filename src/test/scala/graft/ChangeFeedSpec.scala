@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Replayer
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.{LakeTable, Maintenance}
+import graft.oracle.FoldOracle
+import graft.streaming.ChangeFeed
+
+/** CDC-OUT as a live feed: [[ChangeFeed]] tails a lake table's manifest
+  * log and an exactly-once consumer ([[ChangeFeed.mirrorInto]]) maintains
+  * a downstream mirror table — consumed incrementally across commits, a
+  * column rename, and a compaction, with crash/re-delivery convergence.
+  */
+class ChangeFeedSpec extends SparkSpec {
+
+  private val cfg = GenConfig(seed = 33L, numEvents = 2400L, numRepos = 10,
+    pathsPerRepo = 30, epochSize = 400L, pctInsert = 50, pctUpdate = 30,
+    pctDelete = 20, duplicateRate = 50)
+
+  private def digest(df: DataFrame, langCol: String): String =
+    FoldOracle.digestOf(df
+      .select(col("repo"), col("path"), col("commit"),
+        col(langCol).as("lang"), col("content"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq)
+
+  test("mirror consumes the feed incrementally across commits, a rename " +
+      "and a compaction; a crashed cursor re-delivers and no-ops " +
+      "(exactly-once composition)") {
+    val source = new LakeTable(tmpDir("feed-src"), 4)
+    val mirror = new LakeTable(tmpDir("feed-mir"), 4)
+    val cursor = new ChangeFeed.Cursor(tmpDir("feed-cur") + "/cursor")
+    val events = ChangeGen.stream(spark, cfg).toDF()
+
+    // increment 1: bootstrap over the first two epochs
+    Replayer.run(spark, events, source, maxEpoch = 5, upToEpoch = Some(1))
+    assert(ChangeFeed.drain(spark, source, cursor)(
+      ChangeFeed.mirrorInto(spark, mirror)) == 1)
+    assert(digest(mirror.snapshot(spark), "lang")
+      == digest(source.snapshot(spark), "lang"))
+
+    // increments 2..: per-epoch tailing, then a RENAME, then a COMPACTION
+    // folding pre-rename delta files away, then more epochs — the feed
+    // must stay exact across all of it
+    var consumed = 0
+    val incs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drainAll(): Unit = consumed += ChangeFeed.drain(spark, source,
+      cursor) { inc =>
+        incs += ((inc.fromVersion, inc.toVersion))
+        ChangeFeed.mirrorInto(spark, mirror)(inc)
+      }
+    Replayer.run(spark, events, source, maxEpoch = 5, upToEpoch = Some(2))
+    drainAll()
+    source.renameColumn("lang", "language")
+    // the upstream feed MIGRATES to the new name after the rename (the
+    // full compaction below clears the alias mapping, after which a batch
+    // still using the retired name would re-introduce it as a NEW column
+    // — mergeEpoch fails fast on that, SchemaEvolutionSpec pins it)
+    val migrated = events.withColumnRenamed("lang", "language")
+    Replayer.run(spark, migrated, source, maxEpoch = 5, upToEpoch = Some(3))
+    drainAll()
+    assert(Maintenance.compact(spark, source).isDefined)
+    Replayer.run(spark, migrated, source, maxEpoch = 5)
+    drainAll()
+    assert(consumed >= 3, s"expected >=3 live increments, got $consumed")
+    // intervals are contiguous: each increment starts where the last ended
+    incs.sliding(2).foreach { case scala.collection.Seq(a, b) =>
+      assert(a._2 == b._1, s"gap between increments $a and $b")
+    }
+    // the mirror tracked the rename (schema) and the content (digest)
+    assert(mirror.currentManifest.get.schema.fieldNames.contains("language"))
+    assert(!mirror.snapshot(spark).columns.contains("lang"))
+    assert(digest(mirror.snapshot(spark), "language")
+      == digest(source.snapshot(spark), "language"))
+    assert(digest(source.snapshot(spark), "language") ==
+      FoldOracle.digestOfState(FoldOracle.expectedState(
+        cfg.copy(duplicateRate = 0))))
+
+    // CRASH: the cursor is rolled back to a consumed version — re-delivery
+    // of the committed range must no-op on the mirror (same epoch =
+    // toVersion), leaving the manifest untouched
+    val vMirror = mirror.currentVersion
+    val lastFrom = incs.last._1
+    locally {
+      val p = java.nio.file.Paths.get(cursor.path)
+      java.nio.file.Files.write(p, lastFrom.toString.getBytes("UTF-8"))
+    }
+    assert(ChangeFeed.drain(spark, source, cursor)(
+      ChangeFeed.mirrorInto(spark, mirror)) == 1)
+    assert(mirror.currentVersion == vMirror,
+      "re-delivered range must not re-commit")
+    assert(digest(mirror.snapshot(spark), "language")
+      == digest(source.snapshot(spark), "language"))
+  }
+
+  test("live follow(): a committer thread drives epochs while the feed " +
+      "tails; after graceful stop the mirror equals the source") {
+    val source = new LakeTable(tmpDir("feed-live-src"), 4)
+    val mirror = new LakeTable(tmpDir("feed-live-mir"), 4)
+    val cursor = new ChangeFeed.Cursor(tmpDir("feed-live-cur") + "/cursor")
+    val events = ChangeGen.stream(spark, cfg).toDF().cache()
+    events.count()
+
+    @volatile var done = false
+    val committer = new Thread(() => {
+      try (0L to 5L).foreach { e =>
+        Replayer.run(spark, events, source, maxEpoch = 5, upToEpoch = Some(e))
+        Thread.sleep(30)
+      } finally done = true
+    })
+    committer.start()
+    // tails live; the final post-stop drain picks up anything committed
+    // between the last poll and the stop signal
+    val n = ChangeFeed.follow(spark, source, cursor, pollIntervalMs = 20L)(
+      () => done)(ChangeFeed.mirrorInto(spark, mirror))
+    committer.join()
+    events.unpersist()
+    assert(n >= 1)
+    assert(cursor.read == source.currentVersion)
+    assert(digest(mirror.snapshot(spark), "lang")
+      == digest(source.snapshot(spark), "lang"))
+  }
+
+  test("bootstrap carries retained tombstones — a key deleted before the " +
+      "consumer subscribed stays dead in the mirror") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("feed-boot-src"), 4)
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.scala", "c0", "scala", "x", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.scala", "c1", "scala", "y", 1)
+    ).toDF(), 0L)
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(2, 1, "D", "r1", "a.scala", "c2", "scala", "", 1)
+    ).toDF(), 1L)
+    val mirror = new LakeTable(tmpDir("feed-boot-mir"), 4)
+    val cursor = new ChangeFeed.Cursor(tmpDir("feed-boot-cur") + "/cursor")
+    assert(ChangeFeed.drain(spark, source, cursor)(
+      ChangeFeed.mirrorInto(spark, mirror)) == 1)
+    assert(mirror.snapshot(spark).select("path").collect()
+      .map(_.getString(0)).toSet == Set("b.scala"))
+    // physically retained tombstone: a late re-delivered pre-delete event
+    // cannot resurrect the key downstream either
+    assert(mirror.read(spark)
+      .filter(col("path") === "a.scala" && col("__deleted")).count() == 1)
+  }
+
+  test("a cursor that lagged past vacuum's manifest-retention floor fails " +
+      "loudly with the re-bootstrap instruction") {
+    val source = new LakeTable(tmpDir("feed-vac-src"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 5)
+    Maintenance.vacuum(source, retainVersions = 2, graceMillis = 0L)
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.poll(spark, source, after = 1L)
+    }
+    assert(ex.getMessage.contains("re-bootstrap"))
+    // a caught-up cursor polls None
+    assert(ChangeFeed.poll(spark, source, source.currentVersion).isEmpty)
+  }
+}
