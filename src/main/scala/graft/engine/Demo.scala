@@ -57,11 +57,11 @@ object Demo {
     if (engineDigest != oracleDigest) sys.exit(1)
 
     // multi-table pipeline drive: the same WAL feeds a fresh source plus
-    // the fifteen OMOP-shaped domain tables (the reference's full step
+    // the sixteen OMOP-shaped domain tables (the reference's full step
     // list, incl. the 3-deep visit_detail → observation →
     // observation_final chain) in dependency order; verify the person
     // table against its plain-Scala fold oracle
-    println("[demo] driving the multi-table pipeline (15 domain tables)...")
+    println("[demo] driving the multi-table pipeline (16 domain tables)...")
     val pSource = new LakeTable(
       java.nio.file.Files.createTempDirectory("graft-demo-psrc").toString, 16)
     val domains = Pipeline.omopDomainsDeep(spark)

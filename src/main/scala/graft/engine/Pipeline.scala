@@ -78,21 +78,71 @@ object Pipeline {
     *                   CHANGE-EVENT/source rows; the names must also be
     *                   columns of the transform's output (they locate
     *                   existing rows of affected groups for tombstoning).
-    *                   Must be FUNCTIONS OF THE SOURCE MERGE KEY — the
-    *                   size gate bounds the group count by the per-epoch
-    *                   distinct-key counts in the source lineage
+    *                   For RECOMPUTE-maintained domains these must be
+    *                   FUNCTIONS OF THE SOURCE MERGE KEY — a key whose
+    *                   group changed between epochs would otherwise leave
+    *                   its OLD group stale (the batch only names the new
+    *                   one). ALGEBRAIC domains are exempt: the delta fold
+    *                   reads a key's old group from the pre-state
+    *                   snapshot, so group moves decrement/increment
+    *                   exactly. Either way the size gate's bound holds —
+    *                   groups touched ≤ 2 × distinct keys per epoch
     * @param transform  (session, source rows restricted to affected
     *                   groups, upstream domain snapshots by name) → the
     *                   current domain rows for those groups
     * @param dependsOn  upstream domains whose epoch-e state this
     *                   transform consumes — the C3 ordering contract
+    * @param algebraic  when set, per-epoch maintenance folds key-level
+    *                   contribution DELTAS into the existing group rows
+    *                   instead of recomputing affected groups — see
+    *                   [[algebraicRollup]]
     */
   final case class DomainDef(
       name: String,
       keyCols: Seq[String],
       groupExprs: Seq[(String, Column)],
       transform: (SparkSession, DataFrame, Map[String, DataFrame]) => DataFrame,
-      dependsOn: Seq[String] = Seq.empty)
+      dependsOn: Seq[String] = Seq.empty,
+      algebraic: Option[AlgebraicSpec] = None)
+
+  /** Measures of an algebraically-maintained rollup: every measure is a
+    * LONG-valued SUM of a per-source-row contribution (`countName` is the
+    * implicit `sum(1)` row count — also the domain's liveness predicate:
+    * a group folds to a delete tombstone when its count reaches 0).
+    * Commutative-group measures only: each live row contributes
+    * independently, so an epoch's effect is `post − pre` over the touched
+    * keys alone. Extent-dependent aggregates (countDistinct, max over
+    * live rows) do NOT decompose this way — domains carrying them
+    * (care_site, provider, location) stay on the recompute path. */
+  final case class AlgebraicSpec(countName: String,
+                                 sums: Seq[(String, Column)])
+
+  /** A rollup domain maintained by DELTA FOLDING (incremental algebraic
+    * maintenance): per epoch, the engine computes each touched key's
+    * contribution under the PRE-epoch source state (time travel to the
+    * domain's watermark) and the post-epoch state, folds `post − pre`
+    * into the existing group rows, and tombstones groups whose row count
+    * reaches zero. Per-epoch cost is O(batch keys' buckets + touched
+    * groups) — independent of group width, so a GLOBAL/hot-group rollup
+    * (the worst case for recompute maintenance, see the `location`
+    * scaladoc) stays O(batch). The generated full transform (used by
+    * [[rebuildDomain]], fresh roots, and the vacuumed-pre-state fallback)
+    * and the fold derive from the SAME measure spec, so they cannot
+    * drift apart. */
+  def algebraicRollup(name: String, groupExprs: Seq[(String, Column)],
+                      countName: String,
+                      sums: Seq[(String, Column)]): DomainDef = {
+    val groupNames = groupExprs.map(_._1)
+    val aggs = (countName -> lit(1L)) +: sums.map { case (n, c) =>
+      n -> c.cast("long") }
+    DomainDef(name, keyCols = groupNames, groupExprs = groupExprs,
+      transform = (_, src, _) => src
+        .withColumns(groupExprs.toMap)
+        .groupBy(groupNames.map(col): _*)
+        .agg(sum(aggs.head._2).as(aggs.head._1),
+          aggs.tail.map { case (n, c) => sum(c).as(n) }: _*),
+      algebraic = Some(AlgebraicSpec(countName, sums)))
+  }
 
   /** The five OMOP-shaped domains over the source-code change feed,
     * declared in dependency order (person → visit → {condition, drug,
@@ -207,7 +257,20 @@ object Pipeline {
       DomainDef("specimen", Seq("repo", "path"),
         Seq("repo" -> col("repo")),
         (s, src, up) => specimenDomain(s, src, up("visit_detail")),
-        dependsOn = Seq("visit_detail")))
+        dependsOn = Seq("visit_detail")),
+      // CODE_VALUE — the reference's standalone "Code Value" node
+      // (ArchitecturePlan.md:51-68 dependency diagram): a per-language
+      // usage dimension, and the engine's first ALGEBRAIC domain — a
+      // GLOBAL rollup (10-ish groups, every epoch touches most of them)
+      // where recompute maintenance would rescan near the whole source
+      // table per epoch; delta folding keeps it O(batch). Note the group
+      // key (`lang`) is NOT a function of the merge key — a path whose
+      // lang drifts moves between groups, which the fold handles exactly
+      // (the pre-state snapshot names the old group)
+      algebraicRollup("code_value",
+        Seq("lang" -> col("lang")),
+        countName = "n_code_paths",
+        sums = Seq("total_code_chars" -> length(col("content")))))
 
   /** VISIT_DETAIL — one detail row per live (repo, path), derived from the
     * VISIT_OCCURRENCE domain table's epoch state (not from the source):
@@ -397,8 +460,9 @@ object Pipeline {
           val missed = events.filter(col("epoch") > dTable.lastCommittedEpoch
             && col("epoch") <= e)
           val bound = affectedKeyBound(source, dTable.lastCommittedEpoch, e)
-          val res = updateDomain(spark, d, dTable, snap, upstreamSnap,
-            missed, e, bound)
+          val res = updateDomain(spark, d, dTable, source, snap, upstreamSnap,
+            missed, (lo, hi) => Some(events.filter(col("epoch") > lo
+              && col("epoch") <= hi)), e, bound)
           updates += TableUpdate(d.name, e, res)
         } else updates += TableUpdate(d.name, e, None)
       } finally snap.unpersist(blocking = false)
@@ -471,8 +535,13 @@ object Pipeline {
             s"more than one behind batch $epoch — catch it up with the " +
             "batch Pipeline.run before streaming")
         updates += TableUpdate(d.name, epoch,
-          updateDomain(spark, d, dTable, snap, upstreamSnap, batch, epoch,
-            affectedKeyBound(source, epoch - 1, epoch)))
+          updateDomain(spark, d, dTable, source, snap, upstreamSnap, batch,
+            // the stream holds ONLY this batch: any wider range (a
+            // concurrent writer advanced the source) → algebraic falls
+            // back to the pinned full recompute
+            (lo, hi) => if (lo == epoch - 1 && hi == epoch) Some(batch)
+              else None,
+            epoch, affectedKeyBound(source, epoch - 1, epoch)))
       } else updates += TableUpdate(d.name, epoch, None)
     } finally snap.unpersist(blocking = false)
     updates.result()
@@ -506,21 +575,189 @@ object Pipeline {
         sum
     }
 
-  /** One domain's epoch update: recompute affected groups from the merged
-    * source state, tombstone vanished groups, merge as epoch `e`. */
+  /** One domain's epoch update, routed by maintenance strategy:
+    *  - algebraic domains fold contribution deltas ([[algebraicBatchPlan]];
+    *    when the fold's pinned inputs are unavailable they fall back to a
+    *    FULL recompute-with-tombstones over a version-pinned snapshot —
+    *    the affected-GROUP restriction of the generic path is not sound
+    *    for them, since their group keys may move);
+    *  - everything else recomputes affected groups ([[domainBatchPlan]]),
+    * tombstones vanished groups, and merges as epoch `e`. */
   private def updateDomain(spark: SparkSession, d: DomainDef,
-                           dTable: LakeTable, snap: DataFrame,
+                           dTable: LakeTable, source: LakeTable,
+                           snap: DataFrame,
                            upstreamSnap: String => DataFrame,
                            affectedEvents: DataFrame,
+                           eventsInRange: (Long, Long) => Option[DataFrame],
                            e: Long,
-                           affectedBound: Long): Option[MergeUpsert.MergeResult] =
-    try MergeUpsert.mergeEpoch(spark, dTable,
-      domainBatchPlan(spark, d, dTable, snap, upstreamSnap, affectedEvents, e,
-        affectedBound), e)
+                           affectedBound: Long): Option[MergeUpsert.MergeResult] = {
+    val (batch, cleanup, extraLineage): (DataFrame, () => Unit, Map[String, String]) =
+      if (d.algebraic.isDefined) {
+        val postV = source.currentVersion
+        val rec = Map(s"srcv_v$e" -> postV.toString)
+        algebraicBatchPlan(spark, d, dTable, source, postV, eventsInRange, e)
+          .map { case (df, cl) => (df, cl, rec) }
+          .getOrElse((fullDomainBatch(spark, d, dTable,
+            source.snapshotAt(spark, postV), upstreamSnap, e), () => (), rec))
+      } else (domainBatchPlan(spark, d, dTable, snap, upstreamSnap,
+        affectedEvents, e, affectedBound), () => (), Map.empty[String, String])
+    try MergeUpsert.mergeEpoch(spark, dTable, batch, e, extraLineage)
     catch {
       case scala.util.control.NonFatal(ex) => throw new RuntimeException(
         s"domain ${d.name} failed at epoch $e: ${ex.getMessage}", ex)
+    } finally cleanup()
+  }
+
+  /** Full recompute-with-tombstones of one domain from a source snapshot,
+    * committed at epoch `e`: the TRUNCATE-reload shape shared by
+    * [[rebuildDomain]] and the algebraic fallback path. O(table) by
+    * design. */
+  private def fullDomainBatch(spark: SparkSession, d: DomainDef,
+                              dTable: LakeTable, snap: DataFrame,
+                              upstreamSnap: String => DataFrame,
+                              e: Long): DataFrame = {
+    val upstream = d.dependsOn.map(n => n -> upstreamSnap(n)).toMap
+    val fresh = reserveSeqName(d.transform(spark, snap, upstream))
+    val existing = dTable.snapshot(spark)
+    val dels =
+      if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
+      else existing.select(d.keyCols.map(col): _*)
+        .except(fresh.select(d.keyCols.map(col): _*))
+    withMergeOrdering(fresh, dels, e)
+  }
+
+  /** The DELTA-FOLD batch for an algebraic domain at epoch `e`, or None if
+    * the fold's inputs are unavailable — the caller then takes the
+    * (version-pinned) full-recompute path. Unavailable means: the
+    * pre-state manifest was vacuumed, the source schema changed inside
+    * the interval, or the caller cannot produce the interval's events
+    * (the streaming form holds only one batch).
+    *
+    * VERSION PINNING — the fold's exactness invariant. Both reads are
+    * pinned to explicit manifest versions, never "current state":
+    * post = `readAt(postV)` (the version the caller sampled), pre =
+    * `readAt(the version recorded when the domain committed its own
+    * watermark epoch)`. Every algebraic commit records its post version
+    * in the domain's lineage (`srcv_v<e>`), so the invariant
+    * "domain@L == rollup(source@srcv_v L)" survives the two cases where
+    * `versionAtEpoch(L)` would lie:
+    *  - catch-up after the source ran AHEAD: the first catch-up epoch
+    *    folds to rollup(head) using every key touched up to the PINNED
+    *    head watermark (`eventsInRange(L, srcE)`), and the remaining
+    *    catch-up epochs fold zero deltas — exact, and cheaper than
+    *    re-folding per epoch;
+    *  - a CONCURRENT driver advancing the source mid-update (the raced
+    *    duplicate-pipeline scenario): the pinned post version makes the
+    *    recorded state self-describing regardless of interleaving.
+    * `versionAtEpoch(L)` remains the fallback pre-resolution for tables
+    * whose epoch L predates lineage recording.
+    *
+    * Shape (and why it is O(batch) even for a global rollup):
+    *  1. the touched keys are the interval's distinct merge keys; their
+    *     BUCKET set is collected (bounded by the table's bucket count in
+    *     every regime — never key-grain data) to prune both source scans;
+    *  2. each touched key's live row contributes `(+1 count, +sums)`
+    *     under post and negated under pre; one partial+final hash
+    *     aggregate per group key yields the per-group delta. A key whose
+    *     GROUP MOVED (e.g. lang drift) appears under its old group in pre
+    *     and its new group in post — decrement and increment both land;
+    *  3. zero-delta groups drop out (no rewrite of probed-but-unchanged
+    *     groups); existing domain rows of the remaining groups are
+    *     semi-join-restricted and folded in with a second group-grain
+    *     aggregate; count ≤ 0 with an existing row → delete tombstone.
+    * The delta frame is persisted for the duration of the merge (it feeds
+    * both the restriction and the fold — without the cache the pre/post
+    * scans would run twice); the returned cleanup unpersists it. Both
+    * semi-joins follow the same broadcast-vs-distributed size gate as the
+    * recompute path. */
+  private[graft] def algebraicBatchPlan(spark: SparkSession, d: DomainDef,
+      dTable: LakeTable, source: LakeTable, postV: Long,
+      eventsInRange: (Long, Long) => Option[DataFrame],
+      e: Long): Option[(DataFrame, () => Unit)] = {
+    val spec = d.algebraic.get
+    val groupNames = d.groupExprs.map(_._1)
+    val srcKeys = source.keyCols
+    val contribs: Seq[(String, Column)] =
+      (spec.countName -> lit(1L)) +: spec.sums.map { case (n, c) =>
+        n -> c.cast("long") }
+    val measureNames = contribs.map(_._1)
+
+    val L = dTable.lastCommittedEpoch
+    // the pinned post watermark: on catch-up this may exceed `e`, and the
+    // key restriction must cover everything up to IT (domain@e will equal
+    // rollup(source@postV) — the engine's catch-up convention: a lagging
+    // domain's intermediate epochs may reflect newer source state)
+    val srcE = source.readManifest(postV).epochWatermark
+    val affectedEvents = eventsInRange(L, srcE).getOrElse(return None)
+    val preV: Option[Long] =
+      if (L < 0) None // fresh domain: pre = ∅
+      else {
+        val recorded = dTable.currentManifest
+          .flatMap(_.lineage.get(s"srcv_v$L")).flatMap(_.toLongOption)
+        val v = recorded.orElse(source.versionAtEpoch(L))
+          .filter(source.hasVersion)
+        if (v.isEmpty) return None // vacuumed/unknown → full recompute
+        v
+      }
+
+    val bound = affectedKeyBound(source, L, srcE)
+    val small = bound <= broadcastGroupLimit
+    val keys0 = affectedEvents.select(srcKeys.map(col): _*).distinct()
+    // bucket pruning for BOTH source scans: the collect is bounded by the
+    // table's bucket count in every regime (never key-grain data)
+    val nb = source.numBuckets
+    val buckets: Option[Set[Int]] = {
+      val bs = keys0.select(MergeUpsert.bucketOf(nb, srcKeys).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (bs.size >= nb) None else Some(bs)
     }
+    def contributions(df: DataFrame, sign: Long): DataFrame =
+      df.join(if (small) broadcast(keys0) else keys0, srcKeys, "left_semi")
+        .withColumns(d.groupExprs.toMap)
+        .select(groupNames.map(col) ++ contribs.map { case (n, c) =>
+          (c * lit(sign)).as(n) }: _*)
+
+    val postSnap = source.snapshotAt(spark, postV, buckets)
+    val post = contributions(postSnap, 1L)
+    val preOpt: Option[Option[DataFrame]] = preV match {
+      case None => Some(None)
+      case Some(v) =>
+        val preSnap = source.snapshotAt(spark, v, buckets)
+        // schema drift inside the interval (rename/evolution between the
+        // domain's watermark and now) → conservative full recompute
+        if (preSnap.columns.toSet != postSnap.columns.toSet) None
+        else Some(Some(contributions(preSnap, -1L)))
+    }
+    preOpt.map { pre =>
+      val delta = pre.map(p => post.unionByName(p)).getOrElse(post)
+        .groupBy(groupNames.map(col): _*)
+        .agg(sum(col(measureNames.head)).as(measureNames.head),
+          measureNames.tail.map(n => sum(col(n)).as(n)): _*)
+        .filter(measureNames.map(n => col(n) =!= 0L).reduce(_ || _))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deltaKeys = delta.select(groupNames.map(col): _*)
+      val existing0 = dTable.snapshot(spark)
+      val tagged = delta.withColumn("__existed", lit(0))
+      val folded0 =
+        if (existing0.columns.isEmpty) tagged
+        else tagged.unionByName(existing0
+          .join(if (small) broadcast(deltaKeys) else deltaKeys,
+            groupNames, "left_semi")
+          .select(groupNames.map(col) ++ measureNames.map(col): _*)
+          .withColumn("__existed", lit(1)))
+      val folded = folded0.groupBy(groupNames.map(col): _*)
+        .agg(sum(col(measureNames.head)).as(measureNames.head),
+          (measureNames.tail.map(n => sum(col(n)).as(n)) :+
+            max(col("__existed")).as("__existed")): _*)
+      val fresh = folded.filter(col(spec.countName) > 0).drop("__existed")
+      val dels = folded
+        .filter(col(spec.countName) <= 0 && col("__existed") === 1)
+        .select(d.keyCols.map(col): _*)
+      (withMergeOrdering(fresh, dels, e), () => {
+        delta.unpersist(blocking = false); ()
+      })
+    }
+  }
 
   /** The (lazy) domain-update batch for epoch `e` — exposed separately
     * from the merge so its physical plan is assertable in PlanSpec.
@@ -642,14 +879,13 @@ object Pipeline {
           s"declares (${d.keyCols.mkString(", ")}) — rebuild a re-keyed " +
           "domain into a fresh root")
     }
-    val snap = source.snapshot(spark)
-    val upstream = d.dependsOn.map(n => n -> tables(n).snapshot(spark)).toMap
-    val fresh = reserveSeqName(d.transform(spark, snap, upstream))
-    val existing = dTable.snapshot(spark)
-    val dels =
-      if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
-      else existing.select(d.keyCols.map(col): _*)
-        .except(fresh.select(d.keyCols.map(col): _*))
-    MergeUpsert.mergeEpoch(spark, dTable, withMergeOrdering(fresh, dels, e), e)
+    // pin the snapshot version and (for algebraic domains) record it, so
+    // incremental delta folding resumes exactly from the rebuilt state
+    val postV = source.currentVersion
+    MergeUpsert.mergeEpoch(spark, dTable,
+      fullDomainBatch(spark, d, dTable, source.snapshotAt(spark, postV),
+        n => tables(n).snapshot(spark), e), e,
+      if (d.algebraic.isDefined) Map(s"srcv_v$e" -> postV.toString)
+      else Map.empty)
   }
 }

@@ -384,9 +384,12 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
                buckets: Option[Set[Int]] = None): DataFrame =
     live(read(spark, buckets))
 
-  /** Live snapshot as of manifest `version` ([[readAt]] time travel). */
-  def snapshotAt(spark: SparkSession, version: Long): DataFrame =
-    live(readAt(spark, version))
+  /** Live snapshot as of manifest `version` ([[readAt]] time travel),
+    * optionally bucket-pruned (same key-restricted-consumer safety rule as
+    * [[snapshot]]). */
+  def snapshotAt(spark: SparkSession, version: Long,
+                 buckets: Option[Set[Int]] = None): DataFrame =
+    live(readAt(spark, version, buckets))
 
   /** CDC-OUT: the table read as a CHANGE STREAM — every row version
     * committed after manifest `fromVersion`, i.e. the per-epoch winner

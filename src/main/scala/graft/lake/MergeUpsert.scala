@@ -186,8 +186,13 @@ object MergeUpsert {
     * `epoch` itself ever committing, this throws instead of silently
     * dropping the batch — a later epoch overtaking an uncommitted earlier
     * one would otherwise lose events with no error. */
+  /** `extraLineage`: caller-supplied lineage entries committed atomically
+    * with the epoch (e.g. the pipeline's pinned-source-version record for
+    * algebraic domains). Keys should carry a `_v<n>` suffix so the
+    * lineage cap truncates them in age order. */
   def mergeEpoch(spark: SparkSession, table: LakeTable, batch: DataFrame,
-                 epoch: Long): Option[MergeResult] = {
+                 epoch: Long,
+                 extraLineage: Map[String, String] = Map.empty): Option[MergeResult] = {
     val current = table.currentManifest
     val watermark = current.map(_.epochWatermark).getOrElse(-1L)
     if (epoch <= watermark) {
@@ -333,7 +338,7 @@ object MergeUpsert {
       // moment the registry overflows — permanently. Epochs below N are
       // correctly treated as committed (the rebuild incorporated them).
       val (lin, linFloor) = truncateLineage(
-        m.map(_.lineage).getOrElse(Map.empty) + lineageEntry,
+        m.map(_.lineage).getOrElse(Map.empty) + lineageEntry ++ extraLineage,
         m.map(_.lineageEpochFloor).getOrElse(epoch), lineageCap)
       Manifest(
         version = m.map(_.version).getOrElse(0L) + 1,

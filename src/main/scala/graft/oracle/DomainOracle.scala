@@ -204,6 +204,15 @@ object DomainOracle {
     }.toSeq.sorted
   }
 
+  /** CODE_VALUE: one line per lang — `lang|n_paths|total_chars` (code
+    * points, matching Spark's length()). The algebraic-rollup domain. */
+  def codeValueLines(state: Map[(String, String), State]): Seq[String] =
+    state.values.groupBy(_.lang).map { case (lang, rows) =>
+      val chars = rows.map(r =>
+        r.content.codePointCount(0, r.content.length).toLong).sum
+      s"$lang|${rows.size}|$chars"
+    }.toSeq.sorted
+
   def digest(lines: Seq[String]): String =
     FoldOracle.sha256Hex(lines.mkString("\n"))
 }

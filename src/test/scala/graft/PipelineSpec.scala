@@ -87,6 +87,9 @@ class PipelineSpec extends SparkSpec {
     assert(lines(tables("specimen").snapshot(spark), "repo", "path",
       "specimen_concept", "specimen_source_value", "visit_rank")
       == DomainOracle.specimenLines(st), "specimen")
+    assert(lines(tables("code_value").snapshot(spark), "lang",
+      "n_code_paths", "total_code_chars")
+      == DomainOracle.codeValueLines(st), "code_value")
   }
 
   test("pipeline maintains all five domain tables epoch-by-epoch " +
@@ -174,10 +177,10 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("DEEP topology: 16 tables (source + 15 domains, the reference's " +
-      "full step list) with a 3-deep chain (visit_occurrence → " +
-      "visit_detail → observation → observation_final) all oracle-match " +
-      "epoch-by-epoch") {
+  test("DEEP topology: 17 tables (source + 16 domains, the reference's " +
+      "full step list incl. the standalone Code Value node) with a 3-deep " +
+      "chain (visit_occurrence → visit_detail → observation → " +
+      "observation_final) all oracle-match epoch-by-epoch") {
     val source = new LakeTable(tmpDir("pipe-deep-src"), 8)
     val domains = Pipeline.omopDomainsDeep(spark)
     val tables = Pipeline.openDomainTables(tmpDir("pipe-deep-dom"), domains, 4)
@@ -404,6 +407,82 @@ class PipelineSpec extends SparkSpec {
     assert(tables("visit_occurrence").snapshot(spark)
       .filter(col("path") === "docs/readme.markdown").count() == 1,
       "the path itself stays live in full-membership domains")
+  }
+
+  test("algebraic code_value: a lang drift moves the key between groups " +
+      "(old group decremented via the pre-state snapshot) and a vanished " +
+      "lang tombstones — identical in BOTH gate regimes") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val evs = Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.scala", "c0", "scala", "aaaa", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.go", "c1", "go", "bb", 1),
+      ChangeEvent(2, 0, "I", "r2", "c.go", "c2", "go", "ccc", 1),
+      // epoch 1: a.scala drifts to markdown — scala's count hits 0 (the
+      // batch never names "scala"; only the PRE snapshot knows the old
+      // group) — and c.go is deleted (go decrements, stays live)
+      ChangeEvent(3, 1, "U", "r1", "a.scala", "c3", "markdown", "dddd", 1),
+      ChangeEvent(4, 1, "D", "r2", "c.go", "c4", "go", "", 1))
+    Seq(None, Some("0")).foreach { gate =>
+      gate.foreach(System.setProperty("graft.pipeline.broadcastGroupLimit", _))
+      try {
+        val source = new LakeTable(tmpDir("alg-src"), 4)
+        val cv = Pipeline.omopDomainsDeep(spark)
+          .find(_.name == "code_value").get
+        val tables = Pipeline.openDomainTables(tmpDir("alg-dom"), Seq(cv), 2)
+        Pipeline.run(spark, evs.toDF(), source, Seq(cv), tables, maxEpoch = 1)
+        assert(lines(tables("code_value").snapshot(spark), "lang",
+          "n_code_paths", "total_code_chars")
+          == Seq("go|1|2", "markdown|1|4"), s"gate=$gate")
+        // the vanished group's tombstone is physical
+        assert(tables("code_value").read(spark)
+          .filter(col("lang") === "scala" && col("__deleted")).count() == 1,
+          s"gate=$gate")
+      } finally gate.foreach(_ =>
+        System.clearProperty("graft.pipeline.broadcastGroupLimit"))
+    }
+  }
+
+  test("algebraic maintenance equals the fold oracle under adversarial " +
+      "churn (delete-heavy tiny keyspace with re-delivery; a hot key)") {
+    val configs = Seq(
+      GenConfig(seed = 404L, numEvents = 1200, numRepos = 3, pathsPerRepo = 6,
+        epochSize = 300, pctInsert = 25, pctUpdate = 35, pctDelete = 40,
+        duplicateRate = 150),
+      GenConfig(seed = 505L, numEvents = 1600, numRepos = 30, pathsPerRepo = 4,
+        epochSize = 400, pctInsert = 60, pctUpdate = 30, pctDelete = 10,
+        hotKeyPct = 40))
+    configs.foreach { c =>
+      val source = new LakeTable(tmpDir("alg-prop-src"), 4)
+      val cv = Pipeline.omopDomainsDeep(spark).find(_.name == "code_value").get
+      val tables = Pipeline.openDomainTables(tmpDir("alg-prop-dom"), Seq(cv), 2)
+      val maxEpoch = (c.numEvents - 1) / c.epochSize
+      Pipeline.run(spark, ChangeGen.stream(spark, c).toDF(), source, Seq(cv),
+        tables, maxEpoch, compactEvery = 2)
+      assert(lines(tables("code_value").snapshot(spark), "lang",
+        "n_code_paths", "total_code_chars")
+        == DomainOracle.codeValueLines(
+          FoldOracle.expectedState(c.copy(duplicateRate = 0))), c.seed)
+    }
+  }
+
+  test("algebraic catch-up whose pre-state manifest was VACUUMED falls " +
+      "back to the full recompute and still oracle-matches") {
+    val source = new LakeTable(tmpDir("alg-vac-src"), 4)
+    val cv = Pipeline.omopDomainsDeep(spark).find(_.name == "code_value").get
+    val tables = Pipeline.openDomainTables(tmpDir("alg-vac-dom"), Seq(cv), 2)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Pipeline.run(spark, events, source, Seq(cv), tables, maxEpoch = 5,
+      upToEpoch = Some(1))
+    // source runs ahead alone, then vacuum reclaims every manifest at the
+    // domain's watermark — the time-travel pre-state is gone
+    Replayer.run(spark, events, source, maxEpoch = 5)
+    graft.lake.Maintenance.vacuum(source, retainVersions = 1, graceMillis = 0L)
+    assert(source.versionAtEpoch(1L).isEmpty, "pre-state must be vacuumed")
+    Pipeline.run(spark, events, source, Seq(cv), tables, maxEpoch = 5)
+    assert(lines(tables("code_value").snapshot(spark), "lang",
+      "n_code_paths", "total_code_chars")
+      == DomainOracle.codeValueLines(oracleState))
   }
 
   test("deleting a repo's last path tombstones its derived person row") {

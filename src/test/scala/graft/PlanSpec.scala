@@ -308,6 +308,62 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("algebraic delta-fold plan scans ONLY the touched keys' source " +
+      "buckets (pre AND post reads pruned) — a hot-group epoch never " +
+      "rescans the unaffected source") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Pipeline
+    import graft.lake.LakeTable
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    // epoch 0 spreads 16 keys over the source's 8 buckets; epoch 1 touches
+    // ONE key — but the code_value group ("scala") spans every bucket, so
+    // RECOMPUTE maintenance would rescan them all; the fold must not
+    val e0 = (0 until 16).map(i => ChangeEvent(i.toLong, 0L, "I", s"repo-$i",
+      s"src/a/f$i.scala", s"c$i", "scala", "b" * (i + 1), 1))
+    val e1 = Seq(ChangeEvent(16L, 1L, "U", "repo-3", "src/a/f3.scala",
+      "c16", "scala", "bigger content", 1))
+    val source = new LakeTable(tmpDir("alg-plan-src"), 8)
+    val cv = Pipeline.omopDomainsDeep(spark).find(_.name == "code_value").get
+    val tables = Pipeline.openDomainTables(tmpDir("alg-plan-dom"), Seq(cv), 2)
+    val events = (e0 ++ e1).toDF()
+    Pipeline.run(spark, events, source, Seq(cv), tables, maxEpoch = 0)
+    graft.lake.MergeUpsert.mergeEpoch(spark, source,
+      events.filter(col("epoch") === 1), 1L)
+    val srcFiles = source.currentManifest.get.files.map(_.path).toSet
+    assert(srcFiles.size >= 4, "need multiple source buckets to prune across")
+    val (batch, cleanup) = Pipeline.algebraicBatchPlan(spark, cv,
+      tables("code_value"), source, source.currentVersion,
+      (lo, hi) => Some(events.filter(col("epoch") > lo && col("epoch") <= hi)),
+      1L).get
+    // drop the plan's execution-time delta cache BEFORE the first access to
+    // batch.queryExecution: a cached subtree optimizes to InMemoryRelation,
+    // which hides the file scans from inputFiles (the pruning assertion's
+    // whole subject). Recomputing the delta twice is irrelevant at test scale.
+    cleanup()
+    try {
+      val readSrcFiles = batch.inputFiles.toSet
+        .map((p: String) => new java.net.URI(p).getPath)
+        .filter(srcFiles.contains)
+      assert(readSrcFiles.nonEmpty, "the fold must read the touched bucket")
+      assert(readSrcFiles.size < srcFiles.size,
+        s"expected pruned source scans, read all ${srcFiles.size} files")
+      assert(readSrcFiles.forall(f =>
+        "bucket=\\d+".r.findFirstIn(f) ==
+          "bucket=\\d+".r.findFirstIn(readSrcFiles.head)),
+        s"all source files read must come from the touched key's bucket: " +
+          readSrcFiles)
+      val p = batch.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // ... and the fold produces exactly the moved group's delta row
+      val rows = batch.collect()
+      assert(rows.length == 1 && rows.head.getAs[String]("lang") == "scala",
+        rows.mkString(";"))
+    } finally cleanup()
+  }
+
   test("j2 left enrichment broadcasts the dimension side") {
     val p = plan("j2_left_enrich")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -69,7 +69,7 @@ class StreamIngestSpec extends SparkSpec {
   }
 
   test("streaming multi-table pipeline: every domain table converges " +
-      "(DEEP 15-domain topology incl. the 3-deep chain); restart resumes " +
+      "(DEEP 16-domain topology incl. the 3-deep chain and the algebraic code_value rollup); restart resumes " +
       "mid-stream") {
     import graft.engine.Pipeline
     import graft.oracle.DomainOracle
@@ -128,6 +128,8 @@ class StreamIngestSpec extends SparkSpec {
       "obs_value", "obs_rank") == DomainOracle.observationFinalLines(st))
     assert(lines("specimen", "repo", "path", "specimen_concept",
       "specimen_source_value", "visit_rank") == DomainOracle.specimenLines(st))
+    assert(lines("code_value", "lang", "n_code_paths", "total_code_chars")
+      == DomainOracle.codeValueLines(st))
   }
 
   test("re-running a fully-drained stream with a fresh checkpoint is a harmless replay") {

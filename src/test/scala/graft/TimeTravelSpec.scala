@@ -158,4 +158,28 @@ class TimeTravelSpec extends SparkSpec {
     assert(FoldOracle.digestOfTable(table.snapshot(spark)) == head,
       "the retained head must be unaffected")
   }
+
+  test("versionAtEpoch resolves the most-compacted retained manifest at a " +
+      "watermark; vacuumed epochs resolve to None") {
+    val table = new LakeTable(tmpDir("tt-vae"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 4)
+    // every committed epoch resolves, and to a manifest AT that watermark
+    (0L to 4L).foreach { e =>
+      val v = table.versionAtEpoch(e)
+      assert(v.isDefined, s"epoch $e")
+      assert(table.readManifest(v.get).epochWatermark == e)
+    }
+    assert(table.versionAtEpoch(5L).isEmpty, "never-committed epoch")
+    // a compaction commits a new version at the SAME watermark; the
+    // resolution must pick the newer (most-compacted) manifest
+    val before = table.versionAtEpoch(4L).get
+    assert(Maintenance.compact(spark, table).isDefined)
+    val after = table.versionAtEpoch(4L).get
+    assert(after > before && after == table.currentVersion)
+    // vacuum reclaims old manifests → old epochs resolve to None
+    Maintenance.vacuum(table, retainVersions = 1, graceMillis = 0L)
+    assert(table.versionAtEpoch(1L).isEmpty)
+    assert(table.versionAtEpoch(4L).contains(table.currentVersion))
+  }
 }
