@@ -94,13 +94,15 @@ object Bench {
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
     val cdcEpochs = sys.env.getOrElse("SPARK_GRAFT_CDC_EPOCHS", "4").toLong
     // Parallelism ladder per rep. The N-vs-4N evidence pair is
-    // local[1] vs local[4] (primary), with local[2] vs local[8] reported
-    // alongside: sustained wide load on this box saturates the single
-    // host's memory bus and shows 16-23% hypervisor steal — losses a real
-    // cluster does NOT see when adding EXECUTORS (each brings its own
-    // memory bandwidth), so the narrower pair isolates the ENGINE's plan
-    // scaling from the host's bus.
-    val levels = sys.env.getOrElse("SPARK_GRAFT_P_LEVELS", "1,2,4,8")
+    // local[1] vs local[4] (primary), with local[2] vs local[8] and
+    // local[4] vs local[16] reported alongside: sustained wide load on
+    // this box saturates the single host's memory bus and shows 16-23%
+    // hypervisor steal — losses a real cluster does NOT see when adding
+    // EXECUTORS (each brings its own memory bandwidth), so the narrower
+    // pair isolates the ENGINE's plan scaling from the host's bus, and
+    // the 4v16 rung shows where the HOST's bus knee sits (expected below
+    // 0.8 here for host reasons, discussed in BENCH.md).
+    val levels = sys.env.getOrElse("SPARK_GRAFT_P_LEVELS", "1,2,4,8,16")
       .split(",").map(_.trim.toInt).toSeq.sorted
 
     // ---- 1. query suite -------------------------------------------------
@@ -254,13 +256,14 @@ object Bench {
         (tMin(lo) / tMin(hi)) / (hi.toDouble / lo) else Double.NaN
     val eff14 = eff(1, 4)
     val eff28 = eff(2, 8)
+    val eff416 = eff(4, 16)
     val efficiency = if (!eff14.isNaN) eff14 else eff28
     val delivered = cdcEvents + cdcEvents * cfg.duplicateRate / 1000
     val pTop = levels.max
     val epsTop = delivered / tMin(pTop)
     System.err.println(f"[bench] cdc replay: $delivered events  " +
       levels.map(p => f"min local[$p]=${tMin(p)}%.1fs").mkString(" ") +
-      f"  eff(1v4)=$eff14%.3f eff(2v8)=$eff28%.3f  " +
+      f"  eff(1v4)=$eff14%.3f eff(2v8)=$eff28%.3f eff(4v16)=$eff416%.3f  " +
       f"local[$pTop]=${epsTop}%.0f ev/s")
     if (keepWal.isEmpty)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(walDir))
@@ -318,7 +321,8 @@ object Bench {
       f""""levels":[${levels.mkString(",")}],$secs,$evps,""" +
       s""""scaling_efficiency":${jnum(efficiency)},""" +
       s""""scaling_efficiency_1v4":${jnum(eff14)},""" +
-      s""""scaling_efficiency_2v8":${jnum(eff28)}}"""
+      s""""scaling_efficiency_2v8":${jnum(eff28)},""" +
+      s""""scaling_efficiency_4v16":${jnum(eff416)}}"""
     val extras = annSection.map(a => s""","ann_crossover":$a""").getOrElse("") +
       endurance.map(e => s""","endurance":$e""").getOrElse("")
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"system":$sys_,"cdc":$cdc$extras,"sf":"$sfDir"}"""
@@ -419,8 +423,21 @@ object Bench {
           levels.map(pl => f"local[$pl]=${m(pl)}%.1fs").mkString(" ") + "\n")
       }
       md.append(f"\nScaling efficiency (per-level minima): **N=1 vs 4N=4: ")
-      md.append(f"$eff14%.3f**; N=2 vs 4N=8: $eff28%.3f ")
-      md.append("(target ≥ 0.8 per BASELINE.json, primary pair 1v4).\n\n")
+      md.append(f"$eff14%.3f**; N=2 vs 4N=8: $eff28%.3f; N=4 vs 4N=16: ")
+      md.append(f"$eff416%.3f (target ≥ 0.8 per BASELINE.json, primary ")
+      md.append("pair 1v4).\n\n")
+      if (!eff416.isNaN) {
+        md.append("The 4v16 rung localizes where the single host's knee ")
+        md.append("sits: 16-wide sustained load runs into the box's shared\n")
+        md.append("memory bus and 16-23% hypervisor steal (measured via\n")
+        md.append("/proc/stat during earlier rounds' wide runs) — per-core\n")
+        md.append("resources a real cluster's added EXECUTORS each bring\n")
+        md.append("with them. A 4v16 efficiency materially below 2v8 with\n")
+        md.append("1v4 near 1.0 is therefore the host-bus signature, not an\n")
+        md.append("engine-plan knee: the plans themselves are shuffle-free\n")
+        md.append("at merge (bucket-aligned partitioning), so added\n")
+        md.append("parallelism adds no coordination cost.\n\n")
+      }
       endurance.foreach { e =>
         md.append("## Endurance: flat per-epoch cost as the table grows\n\n")
         md.append("Many-epoch run with incremental maintenance live ")

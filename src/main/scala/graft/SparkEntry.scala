@@ -703,27 +703,12 @@ object SparkEntry {
     }),
 
     "pipeline_person_table" -> ((s, dir) => {
-      // C3 multi-table pipeline end-to-end: derive a deterministic
-      // changelog from the events table, drive the FULL dependency-ordered
-      // pipeline (source + five OMOP-shaped domain lake tables, epoch by
-      // epoch, mid-run compaction active) into a scratch lake, then read
-      // back the PERSISTED person domain table. 'error' events are
-      // deletes; epochs are deliberately uncorrelated with seq order
-      // (pmod(event_id, 3)) — the retained-tombstone rule makes replay
-      // order-insensitive, which is exactly what the oracle's pure
-      // latest-wins SQL assumes.
-      val changes = t(s, dir, "events")
-        .filter(pmod(col("event_id"), lit(4L)) === 0) // keep the smoke cheap
-        .select(
-          col("event_id").as("seq"),
-          pmod(col("event_id"), lit(3L)).as("epoch"),
-          when(col("event_type") === "error", "D").otherwise("U").as("op"),
-          concat(lit("r"), pmod(col("user_id"), lit(37L))).as("repo"),
-          concat(lit("p"), col("user_id")).as("path"),
-          col("event_id").cast("string").as("commit"),
-          col("event_type").as("lang"),
-          concat(lit("c:"), col("event_id")).as("content"),
-          lit(1).as("schemaVersion"))
+      // C3 multi-table pipeline end-to-end: drive the FULL
+      // dependency-ordered pipeline (source + five OMOP-shaped domain
+      // lake tables, epoch by epoch, mid-run compaction active) over the
+      // derived changelog into a scratch lake, then read back the
+      // PERSISTED person domain table.
+      val changes = derivedChangelog(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-pipe-q").toString
       val source = new graft.lake.LakeTable(s"$root/source", 8)
       val domains = graft.engine.Pipeline.omopDomains(s)
@@ -744,8 +729,52 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
+    }),
+
+    "pipeline_code_value" -> ((s, dir) => {
+      // The ALGEBRAIC maintenance path end-to-end: the same derived
+      // changelog drives the delta-fold code_value rollup epoch-by-epoch
+      // (pre/post pinned-version contribution deltas folded into the
+      // persisted table — never a recompute of unaffected groups), then
+      // the final table is read back; the oracle recomputes the rollup
+      // from scratch as latest-wins SQL, so the fold's exactness
+      // invariant (domain == rollup(source head)) is driver-checked.
+      val changes = derivedChangelog(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-pipe-cv").toString
+      val source = new graft.lake.LakeTable(s"$root/source", 8)
+      val cv = graft.engine.Pipeline.omopDomainsDeep(s)
+        .filter(_.name == "code_value")
+      val tables = graft.engine.Pipeline.openDomainTables(
+        s"$root/domains", cv, 4)
+      graft.engine.Pipeline.run(s, changes, source, cv, tables, maxEpoch = 2)
+      val out = tables("code_value").snapshot(s)
+        .select("lang", "n_code_paths", "total_code_chars")
+      val rows = out.collect().toList
+      val schema = out.schema
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
     })
   )
+
+  /** The deterministic changelog both pipeline probes replay: derived from
+    * the events table, 'error' events are deletes, epochs deliberately
+    * uncorrelated with seq order (pmod(event_id, 3)) — the
+    * retained-tombstone rule makes replay order-insensitive, which is
+    * exactly what the oracles' pure latest-wins SQL assumes. */
+  private def derivedChangelog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(4L)) === 0) // keep the smoke cheap
+      .select(
+        col("event_id").as("seq"),
+        pmod(col("event_id"), lit(3L)).as("epoch"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        concat(lit("r"), pmod(col("user_id"), lit(37L))).as("repo"),
+        concat(lit("p"), col("user_id")).as("path"),
+        col("event_id").cast("string").as("commit"),
+        col("event_type").as("lang"),
+        concat(lit("c:"), col("event_id")).as("content"),
+        lit(1).as("schemaVersion"))
 
   /** Whole-SYSTEM probes registered in [[queries]] (end-to-end pipeline
     * replays spanning many Spark jobs). Bench times them in a separate
@@ -753,7 +782,8 @@ object SparkEntry {
     * would otherwise dominate the suite number and bury per-query
     * regressions. Membership is explicit here, at the registration site:
     * an ordinary query is never excluded by accident of its name. */
-  val systemProbes: Set[String] = Set("pipeline_person_table")
+  val systemProbes: Set[String] = Set("pipeline_person_table",
+    "pipeline_code_value")
 
   /** 32-/60-bit non-negative integers from an md5 hex prefix — base
     * hashes a DuckDB twin oracle recomputes exactly as
@@ -1416,6 +1446,26 @@ object SparkEntry {
                 array_to_string(list_sort(list(DISTINCT lang)), ';') AS langs,
                 min(path) AS first_path,
                 max(seq) AS modified_seq
-         FROM live GROUP BY repo"""
+         FROM live GROUP BY repo""",
+
+    // the Spark side maintains the rollup INCREMENTALLY (per-epoch
+    // delta folds); the oracle recomputes it from scratch over the head
+    // state — equality is the fold's exactness invariant
+    "pipeline_code_value" ->
+      """WITH ch AS (
+           SELECT event_id AS seq,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                  'r' || (user_id % 37) AS repo,
+                  'p' || user_id AS path,
+                  event_type AS lang,
+                  'c:' || event_id AS content
+           FROM events WHERE event_id % 4 = 0),
+         w AS (SELECT *, row_number() OVER (PARTITION BY repo, path
+                 ORDER BY seq DESC) AS rn FROM ch),
+         live AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D')
+         SELECT lang,
+                count(*) AS n_code_paths,
+                CAST(sum(length(content)) AS BIGINT) AS total_code_chars
+         FROM live GROUP BY lang"""
   )
 }
