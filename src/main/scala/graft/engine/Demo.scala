@@ -72,7 +72,7 @@ object Demo {
     domains.foreach { d =>
       val t = tables(d.name)
       println(s"[demo] ${d.name}: epoch ${t.lastCommittedEpoch}, " +
-        s"${t.snapshot(spark).count()} rows")
+        s"${Pipeline.readDomain(spark, d, t).count()} rows")
     }
     val personLines = tables("person").snapshot(spark)
       .select("person_source_value", "n_paths", "n_langs", "langs",

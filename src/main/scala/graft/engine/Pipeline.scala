@@ -96,6 +96,11 @@ object Pipeline {
     *                   contribution DELTAS into the existing group rows
     *                   instead of recomputing affected groups — see
     *                   [[algebraicRollup]]
+    * @param view       read-time projection from the STORED grain to the
+    *                   domain's logical output (see [[readDomain]]) — lets
+    *                   a domain store a finer grain than it presents, e.g.
+    *                   a distinct-count rollup stored at
+    *                   (group ⊗ distinct-value) sub-grain
     */
   final case class DomainDef(
       name: String,
@@ -103,7 +108,18 @@ object Pipeline {
       groupExprs: Seq[(String, Column)],
       transform: (SparkSession, DataFrame, Map[String, DataFrame]) => DataFrame,
       dependsOn: Seq[String] = Seq.empty,
-      algebraic: Option[AlgebraicSpec] = None)
+      algebraic: Option[AlgebraicSpec] = None,
+      view: Option[DataFrame => DataFrame] = None)
+
+  /** A domain's LOGICAL state: the live snapshot of its lake table, through
+    * the domain's read-time view when one is declared. Consumers (and the
+    * oracle assertions) read domains through this; domains without a view
+    * read the stored rows directly, zero overhead. */
+  def readDomain(spark: SparkSession, d: DomainDef,
+                 table: graft.lake.LakeTable): DataFrame = {
+    val snap = table.snapshot(spark)
+    d.view.fold(snap)(v => v(snap))
+  }
 
   /** Measures of an algebraically-maintained rollup: every measure is a
     * LONG-valued SUM of a per-source-row contribution (`countName` is the
@@ -111,9 +127,12 @@ object Pipeline {
     * a group folds to a delete tombstone when its count reaches 0).
     * Commutative-group measures only: each live row contributes
     * independently, so an epoch's effect is `post − pre` over the touched
-    * keys alone. Extent-dependent aggregates (countDistinct, max over
-    * live rows) do NOT decompose this way — domains carrying them
-    * (care_site, provider, location) stay on the recompute path. */
+    * keys alone. Extent-dependent aggregates do NOT decompose this way
+    * directly: count(DISTINCT x) is recovered by storing the rollup one
+    * grain finer — (group, x) with a pure count — and counting live
+    * sub-rows at read time (see the `location` domain); max-under-deletes
+    * has no finite-grain decomposition, so domains carrying it
+    * (care_site, provider) stay on the recompute path. */
   final case class AlgebraicSpec(countName: String,
                                  sums: Seq[(String, Column)])
 
@@ -131,7 +150,8 @@ object Pipeline {
     * drift apart. */
   def algebraicRollup(name: String, groupExprs: Seq[(String, Column)],
                       countName: String,
-                      sums: Seq[(String, Column)]): DomainDef = {
+                      sums: Seq[(String, Column)],
+                      view: Option[DataFrame => DataFrame] = None): DomainDef = {
     val groupNames = groupExprs.map(_._1)
     val aggs = (countName -> lit(1L)) +: sums.map { case (n, c) =>
       n -> c.cast("long") }
@@ -141,7 +161,8 @@ object Pipeline {
         .groupBy(groupNames.map(col): _*)
         .agg(sum(aggs.head._2).as(aggs.head._1),
           aggs.tail.map { case (n, c) => sum(c).as(n) }: _*),
-      algebraic = Some(AlgebraicSpec(countName, sums)))
+      algebraic = Some(AlgebraicSpec(countName, sums)),
+      view = view)
   }
 
   /** The five OMOP-shaped domains over the source-code change feed,
@@ -217,17 +238,30 @@ object Pipeline {
             countDistinct(col("lang")).as("n_site_langs"),
             max(col("updated_seq")).as("site_seq"))),
       // LOCATION — step 3, no cross-deps, and the one CROSS-repo grain:
-      // keyed on the top-level dir alone (a group key that is a function
-      // of `path` only). Coarse-grain caveat: a hot dir's group is most
-      // of the table, so an epoch touching it recomputes near-fully —
-      // inherent to any global rollup (the size gate keeps the
-      // restriction distributed; the aggregate itself stays partial+final)
-      DomainDef("location", Seq("location_dir"),
-        Seq("location_dir" -> substring_index(col("path"), "/", 1)),
-        (_, src, _) => src.groupBy(
-          substring_index(col("path"), "/", 1).as("location_dir"))
-          .agg(countDistinct(col("repo")).as("n_location_repos"),
-            count(lit(1)).as("n_location_paths"))),
+      // logically keyed on the top-level dir alone, with a DISTINCT-COUNT
+      // measure (n repos per dir). count(DISTINCT x) is not a
+      // commutative-group sum, so it cannot delta-fold directly — but it
+      // IS the count of LIVE sub-groups of a pure-count rollup one grain
+      // finer. So the table is STORED at (dir, repo) sub-grain, maintained
+      // by the standard algebraic fold (a sub-group's path count reaching
+      // 0 tombstones it — exactly the "repo left the dir" transition), and
+      // the logical (dir)-grain output derives at READ time: count of live
+      // sub-rows = n distinct repos. Turns the engine's worst recompute
+      // case (a hot dir's group ≈ the whole table) into an O(batch) fold;
+      // read-time cost is a partial+final aggregate over |dirs × repos|
+      // sub-rows — negligible next to the source. max-under-deletes
+      // measures (care_site/provider's *_seq) have no such finite-grain
+      // decomposition (a deleted max needs the full multiset) — those
+      // domains stay on the recompute path by design.
+      algebraicRollup("location",
+        Seq("location_dir" -> substring_index(col("path"), "/", 1),
+          "location_repo" -> col("repo")),
+        countName = "n_location_paths",
+        sums = Seq.empty,
+        view = Some(df => df
+          .groupBy(col("location_dir"))
+          .agg(count(lit(1)).as("n_location_repos"),
+            sum(col("n_location_paths")).as("n_location_paths")))),
       // PROVIDER — step 4, no cross-deps: one row per (repo, extension)
       DomainDef("provider", Seq("repo", "provider_ext"),
         Seq("repo" -> col("repo"),

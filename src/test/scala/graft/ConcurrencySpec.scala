@@ -168,4 +168,60 @@ class ConcurrencySpec extends SparkSpec {
       "measurement_concept", "value_source_value", "repo_n_langs")
       == DomainOracle.measurementLines(st), "measurement")
   }
+
+  test("TWO drivers race ALGEBRAIC domains: the pinned-post-version fold " +
+      "converges to the oracle regardless of interleaving") {
+    // The delta fold's exactness claim under concurrency: each commit
+    // records the exact source manifest version it folded to (srcv_v<e>),
+    // so a driver whose source ran AHEAD mid-update (the other driver
+    // advancing it) folds to the pinned head — the recorded state is
+    // self-describing and the LAST commit equals rollup(source head). A
+    // group-key that is NOT a function of the merge key (code_value's
+    // lang) and a distinct-count sub-grain (location) both race here.
+    val cfg = GenConfig(seed = 91L, numEvents = 2400L, numRepos = 10,
+      pathsPerRepo = 30, epochSize = 400L, pctInsert = 50, pctUpdate = 30,
+      pctDelete = 20) // 6 epochs, delete-heavy enough to drive tombstones
+    val source = new LakeTable(tmpDir("race-alg-src"), 8)
+    val domains = Pipeline.omopDomainsDeep(spark)
+      .filter(d => d.name == "code_value" || d.name == "location")
+    val tables = Pipeline.openDomainTables(tmpDir("race-alg-dom"), domains, 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val reports = new Array[Pipeline.PipelineReport](2)
+    val failure = new AtomicReference[Throwable]()
+    val drivers = Array.tabulate(2) { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          reports(i) = Pipeline.run(spark, events, source, domains, tables,
+            maxEpoch = 5, compactEvery = if (i == 0) 2 else 0)
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      }, s"graft-alg-driver-$i")
+    }
+    drivers.foreach(_.start()); drivers.foreach(_.join(600000))
+    assert(failure.get() == null, s"a driver failed: ${failure.get()}")
+
+    ("source" +: domains.map(_.name)).foreach { t =>
+      val a = reports(0).applied(t); val b = reports(1).applied(t)
+      assert((a ++ b).sorted == (0L to 5L),
+        s"$t: epochs lost or doubled — driver0=$a driver1=$b")
+      assert(a.toSet.intersect(b.toSet).isEmpty,
+        s"$t: both drivers claim a commit — driver0=$a driver1=$b")
+    }
+
+    val st = FoldOracle.expectedState(cfg)
+    def lines(df: DataFrame, cols: String*): Seq[String] =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (0 until r.length).map(i =>
+          Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString("|"))
+        .toSeq.sorted
+    assert(lines(tables("code_value").snapshot(spark), "lang",
+      "n_code_paths", "total_code_chars")
+      == DomainOracle.codeValueLines(st), "code_value")
+    val locDef = domains.find(_.name == "location").get
+    assert(lines(Pipeline.readDomain(spark, locDef, tables("location")),
+      "location_dir", "n_location_repos", "n_location_paths")
+      == DomainOracle.locationLines(st), "location")
+  }
 }

@@ -72,8 +72,11 @@ class PipelineSpec extends SparkSpec {
     assert(lines(tables("care_site").snapshot(spark), "repo",
       "care_site_dir", "n_site_paths", "n_site_langs", "site_seq")
       == DomainOracle.careSiteLines(st), "care_site")
-    assert(lines(tables("location").snapshot(spark), "location_dir",
-      "n_location_repos", "n_location_paths")
+    // location is STORED at (dir, repo) sub-grain (distinct-count via the
+    // algebraic fold); its logical output reads through the domain view
+    val locDef = Pipeline.omopDomainsDeep(spark).find(_.name == "location").get
+    assert(lines(Pipeline.readDomain(spark, locDef, tables("location")),
+      "location_dir", "n_location_repos", "n_location_paths")
       == DomainOracle.locationLines(st), "location")
     assert(lines(tables("provider").snapshot(spark), "repo", "provider_ext",
       "n_provider_paths", "provider_seq")
@@ -454,15 +457,22 @@ class PipelineSpec extends SparkSpec {
         hotKeyPct = 40))
     configs.foreach { c =>
       val source = new LakeTable(tmpDir("alg-prop-src"), 4)
-      val cv = Pipeline.omopDomainsDeep(spark).find(_.name == "code_value").get
-      val tables = Pipeline.openDomainTables(tmpDir("alg-prop-dom"), Seq(cv), 2)
+      val alg = Pipeline.omopDomainsDeep(spark)
+        .filter(d => d.name == "code_value" || d.name == "location")
+      val tables = Pipeline.openDomainTables(tmpDir("alg-prop-dom"), alg, 2)
       val maxEpoch = (c.numEvents - 1) / c.epochSize
-      Pipeline.run(spark, ChangeGen.stream(spark, c).toDF(), source, Seq(cv),
+      Pipeline.run(spark, ChangeGen.stream(spark, c).toDF(), source, alg,
         tables, maxEpoch, compactEvery = 2)
+      val st = FoldOracle.expectedState(c.copy(duplicateRate = 0))
       assert(lines(tables("code_value").snapshot(spark), "lang",
         "n_code_paths", "total_code_chars")
-        == DomainOracle.codeValueLines(
-          FoldOracle.expectedState(c.copy(duplicateRate = 0))), c.seed)
+        == DomainOracle.codeValueLines(st), c.seed)
+      // location: distinct-count via live sub-rows — the delete-heavy
+      // config drives "repo's last path in a dir vanishes" transitions
+      val locDef = alg.find(_.name == "location").get
+      assert(lines(Pipeline.readDomain(spark, locDef, tables("location")),
+        "location_dir", "n_location_repos", "n_location_paths")
+        == DomainOracle.locationLines(st), c.seed)
     }
   }
 

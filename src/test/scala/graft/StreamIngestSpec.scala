@@ -92,7 +92,9 @@ class StreamIngestSpec extends SparkSpec {
     assert(FoldOracle.digestOfTable(source.snapshot(spark)) == oracleDigest(cfg))
     val st = FoldOracle.expectedState(cfg)
     def lines(name: String, cols: String*): Seq[String] =
-      tables(name).snapshot(spark).select(cols.map(col): _*).collect()
+      // through the domain's read-time view (location stores sub-grain)
+      Pipeline.readDomain(spark, domains.find(_.name == name).get,
+        tables(name)).select(cols.map(col): _*).collect()
         .map(r => (0 until r.length).map(i =>
           Option(r.get(i)).map(_.toString).getOrElse("∅")).mkString("|"))
         .toSeq.sorted
