@@ -592,6 +592,22 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      // IVF (inverted-file) ANN — the structural sub-linear path beside
+      // the probabilistic LSH one: nearest-of-16 sampled centroids as the
+      // coarse quantizer, 4 probed cells per query, exact-cosine rerank.
+      // DuckDB-ORACLED end-to-end: the centroid sample (vec_id % 31,
+      // lowest 16) is recomputed in SQL from the same table, and
+      // assignment/probe argmax over index-order double cosines is
+      // arithmetic both engines share (same precedent as the SRP sign
+      // decisions in duckAnnLshSql).
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+          sampleMod = 31)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       // embedding-cosine near-dup pairs, exact on a deterministic subset
       // (DuckDB-oracled). The sub-quadratic scale path for the same
@@ -915,6 +931,59 @@ object SparkEntry {
                 CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 10"""
   }
+
+  /** Index-order double cosine as DuckDB SQL over two DOUBLE-list exprs —
+    * the exact arithmetic [[graft.functions.CosineSim]] compiles
+    * (sequential element order, `nn == 0 → 0.0`), shared by the ANN/IVF
+    * oracles. */
+  private def duckCos(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) *
+              sqrt(list_sum(list_transform($b, x -> x*x))) = 0
+         THEN 0.0
+         ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) /
+              (sqrt(list_sum(list_transform($a, x -> x*x))) *
+               sqrt(list_sum(list_transform($b, x -> x*x))))
+         END"""
+
+  /** Oracle for ann_ivf — the REAL production query, fully
+    * SQL-expressible because the centroid sample is deterministic and
+    * data-derived (vec_id % 31, lowest 16, id order): DuckDB recomputes
+    * the identical centroid set from the same parquet, then mirrors the
+    * assignment argmax (cos DESC, cell ASC — [[Similarity.ivfAssign]]'s
+    * `(cos, -cell)` struct max), the nProbe=4 probe ranking, and the
+    * exact-cosine rerank. Raw-double comparisons are safe for the same
+    * reason as duckAnnLshSql's sign decisions: both engines compute
+    * index-order double sums. */
+  private def duckAnnIvfSql: String =
+    s"""WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                    v AS cv
+                FROM (SELECT vec_id, v FROM e WHERE vec_id % 31 = 0
+                      ORDER BY vec_id LIMIT 16)),
+         ac AS (SELECT e.vec_id, e.v, c.cell,
+                  ${duckCos("e.v", "c.cv")} AS cos
+                FROM e, cents c),
+         assign AS (SELECT vec_id AS cand_id, v AS cv, cell FROM
+                (SELECT vec_id, v, cell, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+                 FROM ac) x WHERE rn = 1),
+         probe AS (SELECT vec_id AS query_id, v AS qv, cell FROM
+                (SELECT vec_id, v, cell, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+                 FROM ac WHERE vec_id < 5) x WHERE rn <= 4),
+         scored AS (SELECT query_id, cand_id,
+                  ${duckCos("qv", "cv")} AS cos
+                FROM assign JOIN probe USING (cell)
+                WHERE cand_id <> query_id),
+         ranked AS (SELECT query_id, cand_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, cand_id) AS rank
+                FROM scored)
+         SELECT query_id, cand_id, round(cos, 6) AS cos,
+                CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 10"""
 
   /** DuckDB mirror of TextAnalysis.stopwordHits(padded, word): the Spark
     * side pads once in langIdHeuristic and once in stopwordHits, hence the
@@ -1418,6 +1487,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> duckMinHashMd5Sql,
     "dedup_simhash" -> duckSimHashMd5Sql,
     "ann_lsh_bucketed" -> duckAnnLshSql,
+    "ann_ivf" -> duckAnnIvfSql,
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

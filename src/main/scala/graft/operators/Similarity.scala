@@ -125,4 +125,98 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")
   }
+
+  // ---------------- IVF (inverted-file) coarse-quantizer ANN --------------
+
+  /** Deterministic centroid sample for the IVF coarse quantizer: the
+    * `nCells` LOWEST-id corpus vectors with `id % sampleMod == 0`, in id
+    * order (cell i = i-th sampled vector). Sampling-as-training is the
+    * standard k-means initialization (k-means|| starts exactly this way);
+    * a deterministic modulo sample keeps the index reproducible AND lets
+    * the DuckDB oracle recompute the identical centroid set in SQL.
+    *
+    * The collect here is the INDEX-BUILD step, bounded by `nCells` rows by
+    * construction (centroid sets are small — faiss trains its quantizer on
+    * the driver/host for the same reason); it is the same
+    * small-by-construction pattern as broadcasting the query set. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, sampleMod: Int): Array[Array[Float]] = {
+    val cents = corpus
+      .filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(cents.nonEmpty, "IVF centroid sample is empty — lower sampleMod")
+    cents
+  }
+
+  /** IVF cell assignment: argmax over per-centroid cosine, ties broken to
+    * the LOWEST cell id. Centroids ride as plan-time literals, so the
+    * whole assignment is `nCells` fused codegen'd [[cosine]] loops plus an
+    * `array_max` over `(cos, -cell)` structs — per-row map-only work, no
+    * join, no shuffle, no per-row hashing. A NULL cosine (null element /
+    * length mismatch) scores -2.0 — below any real cosine — so malformed
+    * rows still land in SOME cell instead of killing the scan. */
+  def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(coalesce(cosine(vec, typedlit(c)), lit(-2.0)).as("cos"),
+        lit(-i).as("negcell"))
+    }
+    (-array_max(array(scored.toIndexedSeq: _*)).getField("negcell")).cast("int")
+  }
+
+  /** Top-`nProbe` cells for a query vector, best-first — descending
+    * `(cos, -cell)`, i.e. ties to the lowest cell id, mirroring
+    * [[ivfAssign]] so the assigned cell is always probe #1. */
+  private def ivfProbe(vec: Column, centroids: Array[Array[Float]],
+                       nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(coalesce(cosine(vec, typedlit(c)), lit(-2.0)).as("cos"),
+        lit(-i).as("negcell"))
+    }
+    val sorted = reverse(array_sort(array(scored.toIndexedSeq: _*)))
+    transform(slice(sorted, 1, nProbe),
+      s => (-s.getField("negcell")).cast("int"))
+  }
+
+  /** IVF ANN: assign every corpus vector to its nearest sampled centroid
+    * (map-only codegen, [[ivfAssign]]), probe each query's `nProbe`
+    * nearest cells, exact-cosine rerank inside the probed cells, top-k per
+    * query. The second of the two sub-linear scale paths the engine ships
+    * (alongside [[lshTopK]]): LSH bounds collisions probabilistically; IVF
+    * bounds them structurally — each query scores at most the corpus mass
+    * of `nProbe` of `nCells` cells (~`nProbe/nCells` of the corpus when
+    * balanced), and recall follows cell geometry, not band luck.
+    *
+    * Scale shape: the corpus never shuffles — assignment is map-side, the
+    * probe join is a BroadcastHashJoin on `cell` (query side is
+    * |queries|·nProbe rows), and vectors are DROPPED before the only
+    * exchange (the per-query top-k window moves ids+score only). Each
+    * (query, cand) pair joins at most once (a candidate has exactly ONE
+    * cell and a query's probed cells are distinct), so no dedupe pass is
+    * needed. At 100 TB the assignment is materialized once and the table
+    * written bucketed/partitioned BY `cell`, turning the probe join into a
+    * partition-pruned scan of `nProbe` buckets; the query-time shape here
+    * is identical. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int, nProbe: Int, sampleMod: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, sampleMod)
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cell", ivfAssign(col("cv"), cents))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(ivfProbe(col("qv"), cents, nProbe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select("query_id", "cand_id", "cos") // vectors dropped pre-exchange
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
 }

@@ -76,6 +76,74 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == pairs.distinct.length)
   }
 
+  test("IVF assignment matches a plain-Scala argmax and is partition-invariant") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCells = 16, sampleMod = 31)
+    // sampling contract: lowest 16 ids ≡ 0 (mod 31), id order
+    assert(cents.length == 16)
+    assert(cents(0).sameElements(vectors(0L)))
+    assert(cents(1).sameElements(vectors(31L)))
+    assert(cents(15).sameElements(vectors(465L)))
+
+    def scalaAssign(v: Array[Float]): Int =
+      cents.zipWithIndex
+        .map { case (c, i) => (cosScala(v, c), i) }
+        .maxBy { case (cos, i) => (cos, -i) }._2 // ties → lowest cell
+
+    val got = emb.select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vectors.foreach { case (id, v) =>
+      assert(got(id) == scalaAssign(v), s"vec $id")
+    }
+    // partition count must not change assignment (map-only determinism)
+    val got7 = emb.repartition(7).select(col("vec_id"),
+        Similarity.ivfAssign(col("embedding"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got7 == got)
+    // the assignment plans with no join and no shuffle
+    val plan = emb.select(Similarity.ivfAssign(col("embedding"), cents))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
+  test("IVF top-k achieves pinned recall@10 vs brute force; BHJ on cell; ids-only exchange") {
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, sampleMod = 31)
+    val rows = ivf.collect()
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = (0L until 5L).map { q =>
+      val truth = bruteTopK(q, 10).toSet
+      got.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // Pinned MEASURED floor: 0.64 mean on this corpus (per-query
+    // 1.0/0.5/0.5/0.7/0.5) — deterministic corpus + modulo centroid
+    // sample ⇒ exact reproducibility. Context: nProbe/nCells = 4/16
+    // scores ~25% of the corpus per query when cells are balanced; in
+    // this corpus's diffuse cos 0.25-0.39 neighbor regime recall tracks
+    // the probed fraction plus query-neighbor cell correlation —
+    // comparable to SRP-LSH's 0.62 above on the same corpus. On
+    // clustered (real-embedding) corpora IVF recall concentrates sharply
+    // because neighbors share cells by construction.
+    info(f"IVF mean recall@10 = $mean%.2f (${recalls.mkString(",")})")
+    assert(mean >= 0.6, f"mean recall@10 $mean%.2f < pinned 0.6 (${recalls.mkString(",")})")
+    // each (query, cand) pair appears at most once — structural, no dedupe
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length)
+    // plan shape: broadcast equi-join on cell, never a cartesian; the
+    // rerank exchange carries ids+score only (vectors dropped map-side)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => !l.contains("cv") && !l.contains("qv")),
+      exchanges.mkString("\n"))
+  }
+
   test("SRP signatures are deterministic, native-codegen'd, and match a Scala reference") {
     val s1 = emb.select(col("vec_id"),
         Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
