@@ -167,12 +167,15 @@ object Bench {
       // high-cos regime are pinned in SimilaritySpec
       def lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
         k = 10, dims = 64, nPlanes = 32, bands = 4)
-      run(brute); run(lsh) // warm both plans
+      def ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4, sampleMod = 31)
+      run(brute); run(lsh); run(ivf) // warm all plans
       val bSec = run(brute)
       val lSec = run(lsh)
+      val iSec = run(ivf)
       System.err.println(f"[bench] ann crossover |Q|=$nQ: " +
-        f"brute=$bSec%.2fs lsh=$lSec%.2fs")
-      Some(f"""{"n_queries":$nQ,"brute_sec":$bSec%.3f,"lsh_sec":$lSec%.3f}""")
+        f"brute=$bSec%.2fs lsh=$lSec%.2fs ivf=$iSec%.2fs")
+      Some(f"""{"n_queries":$nQ,"brute_sec":$bSec%.3f,"lsh_sec":$lSec%.3f,"ivf_sec":$iSec%.3f}""")
     } catch { case scala.util.control.NonFatal(e) =>
       // NonFatal only: an OOM or similar must kill the bench loudly, not
       // masquerade as "section absent"

@@ -153,33 +153,26 @@ object Similarity {
   }
 
   /** IVF cell assignment: argmax over per-centroid cosine, ties broken to
-    * the LOWEST cell id. Centroids ride as plan-time literals, so the
-    * whole assignment is `nCells` fused codegen'd [[cosine]] loops plus an
-    * `array_max` over `(cos, -cell)` structs — per-row map-only work, no
-    * join, no shuffle, no per-row hashing. A NULL cosine (null element /
-    * length mismatch) scores -2.0 — below any real cosine — so malformed
-    * rows still land in SOME cell instead of killing the scan. */
-  def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(coalesce(cosine(vec, typedlit(c)), lit(-2.0)).as("cos"),
-        lit(-i).as("negcell"))
-    }
-    (-array_max(array(scored.toIndexedSeq: _*)).getField("negcell")).cast("int")
-  }
+    * the LOWEST cell id. One native codegen'd ranking expression
+    * ([[graft.functions.IvfCellRank]] — the centroid matrix rides as a
+    * single codegen reference object, not nCells vector literals) — per-row
+    * map-only work, no join, no shuffle, no per-row hashing. A null vector
+    * element or a dims mismatch scores -2.0 per cell — below any real
+    * cosine — so malformed rows still land in SOME cell (cell 0) instead
+    * of killing the scan. */
+  def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
+    element_at(cellRank(vec, centroids), 1)
 
   /** Top-`nProbe` cells for a query vector, best-first — descending
     * `(cos, -cell)`, i.e. ties to the lowest cell id, mirroring
     * [[ivfAssign]] so the assigned cell is always probe #1. */
   private def ivfProbe(vec: Column, centroids: Array[Array[Float]],
-                       nProbe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(coalesce(cosine(vec, typedlit(c)), lit(-2.0)).as("cos"),
-        lit(-i).as("negcell"))
-    }
-    val sorted = reverse(array_sort(array(scored.toIndexedSeq: _*)))
-    transform(slice(sorted, 1, nProbe),
-      s => (-s.getField("negcell")).cast("int"))
-  }
+                       nProbe: Int): Column =
+    slice(cellRank(vec, centroids), 1, nProbe)
+
+  private def cellRank(vec: Column, centroids: Array[Array[Float]]): Column =
+    graft.functions.IvfCellRank(vec,
+      centroids.map(_.map(_.toDouble))) // float→double is exact
 
   /** IVF ANN: assign every corpus vector to its nearest sampled centroid
     * (map-only codegen, [[ivfAssign]]), probe each query's `nProbe`
