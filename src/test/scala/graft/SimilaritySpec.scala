@@ -144,6 +144,35 @@ class SimilaritySpec extends SparkSpec {
       exchanges.mkString("\n"))
   }
 
+  test("IvfCellRank edge semantics: zero vector, null element, dims mismatch stay total") {
+    import spark.implicits._
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 1.0f))
+    val rows = Seq(
+      (1L, Seq(Some(0.0f), Some(0.0f))),   // zero vector: nn==0 → cos 0.0 everywhere
+      (2L, Seq(Some(1.0f), None)),          // null element → all cells -2.0
+      (3L, Seq(Some(1.0f))),                // dims mismatch → all cells -2.0
+      (4L, Seq.empty[Option[Float]]),       // empty: mismatch vs every centroid
+      (5L, Seq(Some(1.0f), Some(0.1f))))    // ordinary: nearest cell 0, then 2, then 1
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = df.select(col("id"),
+        graft.functions.IvfCellRank(col("vec"),
+          cents.map(_.map(_.toDouble))).as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // ties (all-equal scores) keep ascending cell order — the documented
+    // (cos DESC, cell ASC) tie-break; no row errors, the operator is total
+    assert(got(1L) == List(0, 1, 2))
+    assert(got(2L) == List(0, 1, 2))
+    assert(got(3L) == List(0, 1, 2))
+    assert(got(4L) == List(0, 1, 2))
+    assert(got(5L) == List(0, 2, 1))
+    // assignment lands every malformed row in cell 0 instead of failing
+    val cells = df.select(col("id"),
+        Similarity.ivfAssign(col("vec"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+  }
+
   test("SRP signatures are deterministic, native-codegen'd, and match a Scala reference") {
     val s1 = emb.select(col("vec_id"),
         Similarity.srpSignature(col("embedding"), 64, 16).as("s"))
