@@ -425,10 +425,16 @@ object Bench {
         md.append(s"- rep${i + 1}: " +
           levels.map(pl => f"local[$pl]=${m(pl)}%.1fs").mkString(" ") + "\n")
       }
-      md.append(f"\nScaling efficiency (per-level minima): **N=1 vs 4N=4: ")
-      md.append(f"$eff14%.3f**; N=2 vs 4N=8: $eff28%.3f; N=4 vs 4N=16: ")
-      md.append(f"$eff416%.3f (target ≥ 0.8 per BASELINE.json, primary ")
-      md.append("pair 1v4).\n\n")
+      // only pairs whose BOTH levels ran this ladder (SPARK_GRAFT_P_LEVELS
+      // can exclude a level — an absent pair must drop out, not print NaN)
+      val effPairs = Seq(
+        ("**N=1 vs 4N=4: ", eff14, "**"), ("N=2 vs 4N=8: ", eff28, ""),
+        ("N=4 vs 4N=16: ", eff416, "")).collect {
+        case (label, e, close) if !e.isNaN => f"$label$e%.3f$close"
+      }
+      md.append("\nScaling efficiency (per-level minima): ")
+      md.append(effPairs.mkString("; "))
+      md.append(" (target ≥ 0.8 per BASELINE.json, primary pair 1v4).\n\n")
       if (!eff416.isNaN) {
         md.append("The 4v16 rung localizes where the single host's knee ")
         md.append("sits: 16-wide sustained load runs into the box's shared\n")

@@ -911,14 +911,7 @@ object SparkEntry {
                 FROM sigs, (SELECT unnest(range(8)) AS band) b
                 WHERE vec_id < 5),
          scored AS (SELECT query_id, cand_id,
-                  CASE WHEN sqrt(list_sum(list_transform(qv, x -> x*x))) *
-                            sqrt(list_sum(list_transform(cv, x -> x*x))) = 0
-                       THEN 0.0
-                       ELSE list_sum(list_transform(list_zip(qv, cv),
-                              p -> p[1]*p[2])) /
-                            (sqrt(list_sum(list_transform(qv, x -> x*x))) *
-                             sqrt(list_sum(list_transform(cv, x -> x*x))))
-                       END AS cos
+                  ${duckCos("qv", "cv")} AS cos
                 FROM bc JOIN bq USING (band, bucket)
                 WHERE cand_id <> query_id),
          cand AS (SELECT query_id, cand_id, max(cos) AS cos

@@ -121,6 +121,19 @@ object Pipeline {
     d.view.fold(snap)(v => v(snap))
   }
 
+  /** The upstream reader handed to domain transforms: a dependency that
+    * is itself a domain with a read-time view is consumed through the
+    * view ([[readDomain]] — its LOGICAL output), never the stored
+    * sub-grain; roots and view-less domains read their stored rows
+    * directly, zero overhead. Every pipeline path (batch run, streaming
+    * twin, [[rebuildDomain]]) builds its upstream reader here, so no
+    * consumer site can forget the view. */
+  private def domainReader(spark: SparkSession, domains: Seq[DomainDef],
+      tables: Map[String, LakeTable])(n: String): DataFrame = {
+    val snap = tables(n).snapshot(spark)
+    domains.find(_.name == n).flatMap(_.view).fold(snap)(v => v(snap))
+  }
+
   /** Measures of an algebraically-maintained rollup: every measure is a
     * LONG-valued SUM of a per-source-row contribution (`countName` is the
     * implicit `sum(1)` row count — also the domain's liveness predicate:
@@ -485,7 +498,7 @@ object Pipeline {
       // latestPerKey), so each consumer's read is O(affected) — cheaper
       // at scale than persisting O(table) upstream state per epoch even
       // when several domains share one upstream
-      def upstreamSnap(n: String): DataFrame = tables(n).snapshot(spark)
+      val upstreamSnap: String => DataFrame = domainReader(spark, domains, tables)
       try domains.foreach { d =>
         val dTable = tables(d.name)
         if (dTable.lastCommittedEpoch < e) {
@@ -560,7 +573,7 @@ object Pipeline {
       MergeUpsert.mergeEpoch(spark, source, batch, epoch))
     val snap = source.snapshot(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def upstreamSnap(n: String): DataFrame = tables(n).snapshot(spark)
+    val upstreamSnap: String => DataFrame = domainReader(spark, domains, tables)
     try domains.foreach { d =>
       val dTable = tables(d.name)
       if (dTable.lastCommittedEpoch < epoch) {
@@ -704,6 +717,26 @@ object Pipeline {
     * scans would run twice); the returned cleanup unpersists it. Both
     * semi-joins follow the same broadcast-vs-distributed size gate as the
     * recompute path. */
+  /** left_semi restriction on `names` with NULL-SAFE key equality. A
+    * usingColumns semi-join compiles to EqualTo, which never matches a
+    * NULL key — but `groupBy` treats NULL as a real group (code_value's
+    * `lang` is nullable), so an EqualTo restriction silently drops the
+    * NULL group from the affected set while the recompute/fold semantics
+    * include it: the fold would overwrite the NULL group's existing row
+    * with the bare delta. `<=>` keeps restriction and aggregation
+    * semantics aligned; Spark still plans a (broadcast) hash join —
+    * ExtractEquiJoinKeys accepts EqualNullSafe as an equi-key. Aliased
+    * sides make the condition robust when both frames scan the same
+    * table (shared-lineage attribute ids). */
+  private def nullSafeSemi(left: DataFrame, right: DataFrame,
+                           names: Seq[String], bcast: Boolean): DataFrame = {
+    val l = left.alias("__semi_l")
+    val r0 = right.select(names.map(col): _*).alias("__semi_r")
+    val r = if (bcast) broadcast(r0) else r0
+    l.join(r, names.map(n => col(s"__semi_l.$n") <=> col(s"__semi_r.$n"))
+      .reduce(_ && _), "left_semi")
+  }
+
   private[graft] def algebraicBatchPlan(spark: SparkSession, d: DomainDef,
       dTable: LakeTable, source: LakeTable, postV: Long,
       eventsInRange: (Long, Long) => Option[DataFrame],
@@ -746,7 +779,7 @@ object Pipeline {
       if (bs.size >= nb) None else Some(bs)
     }
     def contributions(df: DataFrame, sign: Long): DataFrame =
-      df.join(if (small) broadcast(keys0) else keys0, srcKeys, "left_semi")
+      nullSafeSemi(df, keys0, srcKeys, small)
         .withColumns(d.groupExprs.toMap)
         .select(groupNames.map(col) ++ contribs.map { case (n, c) =>
           (c * lit(sign)).as(n) }: _*)
@@ -774,9 +807,8 @@ object Pipeline {
       val tagged = delta.withColumn("__existed", lit(0))
       val folded0 =
         if (existing0.columns.isEmpty) tagged
-        else tagged.unionByName(existing0
-          .join(if (small) broadcast(deltaKeys) else deltaKeys,
-            groupNames, "left_semi")
+        else tagged.unionByName(
+          nullSafeSemi(existing0, deltaKeys, groupNames, small)
           .select(groupNames.map(col) ++ measureNames.map(col): _*)
           .withColumn("__existed", lit(1)))
       val folded = folded0.groupBy(groupNames.map(col): _*)
@@ -831,13 +863,11 @@ object Pipeline {
           .distinct().collect().map(_.getInt(0)).toSet
         (local, Some(buckets))
       } else (aff0, None)
-    def restrictor: DataFrame = if (small) broadcast(aff) else aff
 
     // source rows of the affected groups only (semi-join over the
     // caller's per-epoch materialized snapshot)
-    val snapRestricted = snap
-      .withColumns(d.groupExprs.toMap)
-      .join(restrictor, groupNames, "left_semi")
+    val snapRestricted = nullSafeSemi(
+        snap.withColumns(d.groupExprs.toMap), aff, groupNames, small)
       .select(snap.columns.toIndexedSeq.map(col): _*)
 
     val upstream: Map[String, DataFrame] =
@@ -850,7 +880,7 @@ object Pipeline {
     val existing = dTable.snapshot(spark, prunedBuckets)
     val dels =
       if (existing.columns.isEmpty) fresh.select(d.keyCols.map(col): _*).limit(0)
-      else existing.join(restrictor, groupNames, "left_semi")
+      else nullSafeSemi(existing, aff, groupNames, small)
         .select(d.keyCols.map(col): _*)
         .except(fresh.select(d.keyCols.map(col): _*))
     withMergeOrdering(fresh, dels, e)
@@ -889,8 +919,19 @@ object Pipeline {
     * transform reads their CURRENT state. O(table) by design — one
     * full-refresh epoch, exactly the reference's full-refresh day. */
   def rebuildDomain(spark: SparkSession, source: LakeTable, d: DomainDef,
-                    tables: Map[String, LakeTable])
+                    tables: Map[String, LakeTable],
+                    topology: Seq[DomainDef] = Seq.empty)
       : Option[MergeUpsert.MergeResult] = {
+    // `topology` resolves d's upstream DomainDefs so a viewed dependency
+    // is consumed through its logical output ([[readDomain]]); a
+    // dependency whose def is absent is refused rather than silently fed
+    // the stored sub-grain — the def is what says whether a view exists
+    d.dependsOn.foreach { n =>
+      require(topology.exists(_.name == n),
+        s"rebuildDomain(${d.name}): upstream $n's DomainDef is not in " +
+          "`topology` — pass the pipeline's domain list so a viewed " +
+          "upstream is read through its view, never at stored sub-grain")
+    }
     val e = source.lastCommittedEpoch
     require(e >= 0, "rebuildDomain: source table has no committed epochs")
     d.dependsOn.foreach { n =>
@@ -918,7 +959,7 @@ object Pipeline {
     val postV = source.currentVersion
     MergeUpsert.mergeEpoch(spark, dTable,
       fullDomainBatch(spark, d, dTable, source.snapshotAt(spark, postV),
-        n => tables(n).snapshot(spark), e), e,
+        domainReader(spark, topology, tables), e), e,
       if (d.algebraic.isDefined) Map(s"srcv_v$e" -> postV.toString)
       else Map.empty)
   }

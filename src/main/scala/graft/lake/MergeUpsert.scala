@@ -185,7 +185,18 @@ object MergeUpsert {
     * contract): if the table's watermark has passed `epoch` without
     * `epoch` itself ever committing, this throws instead of silently
     * dropping the batch — a later epoch overtaking an uncommitted earlier
-    * one would otherwise lose events with no error. */
+    * one would otherwise lose events with no error.
+    *
+    * Fresh-root convention (the CDC initial-snapshot contract): a root
+    * whose FIRST commit lands at epoch N > 0 asserts that its state
+    * incorporates everything at or below N (a [[graft.engine.Pipeline]]
+    * rebuild at the source watermark, a domain added to a long-lived
+    * pipeline, a feed whose earlier epochs were compacted away upstream).
+    * Deliveries below N are therefore exactly-once no-ops, NOT ordering
+    * errors — the engine cannot distinguish incorporated history from a
+    * mis-seeded feed, so a feed that genuinely lost its first epochs must
+    * be caught upstream of the lake (pinned in ReplaySpec's
+    * first-commit-at-N test). */
   /** `extraLineage`: caller-supplied lineage entries committed atomically
     * with the epoch (e.g. the pipeline's pinned-source-version record for
     * algebraic domains). Keys should carry a `_v<n>` suffix so the

@@ -156,9 +156,29 @@ object ChangeFeed {
     * mirror's watermark, and the mirror's final state equals the source
     * snapshot (digest-pinned in ChangeFeedSpec). Rename replay is itself
     * idempotent: a rename whose old name is already gone (applied before a
-    * crash, or the column never reached this mirror) is skipped. */
-  def mirrorInto(spark: SparkSession, mirror: LakeTable)
+    * crash, or the column never reached this mirror) is skipped.
+    *
+    * Bootstrap safety (ENFORCED, not just documented): a bootstrap
+    * increment (`fromVersion == 0`) carries only tombstones still
+    * retained upstream, so folding it over a mirror that last applied a
+    * source version now vacuumed past retention could permanently
+    * resurrect keys whose tombstones were GC'd — that merge throws.
+    * The legal non-empty-mirror bootstraps remain: crash re-delivery of
+    * the bootstrap itself, and a lost cursor whose mirror is still
+    * within the source's manifest retention (the same lag contract
+    * [[poll]] enforces on an incremental cursor). */
+  def mirrorInto(spark: SparkSession, source: LakeTable, mirror: LakeTable)
                 (inc: Increment): Unit = {
+    if (inc.fromVersion == 0L) {
+      val applied = mirror.currentManifest.map(_.epochWatermark).getOrElse(-1L)
+      if (applied >= 0L && !source.hasVersion(applied))
+        throw new IllegalStateException(
+          s"mirrorInto(${mirror.root}): refusing to fold a BOOTSTRAP over " +
+            s"a mirror whose last applied source version $applied was " +
+            "vacuumed past the manifest-retention floor — tombstones " +
+            "committed since may be GC'd and the stale mirror rows they " +
+            "deleted would resurrect; re-bootstrap into a FRESH root")
+    }
     inc.renames.foreach { case (from, to) =>
       val cols = mirror.currentManifest
         .map(_.schema.fieldNames.toSet).getOrElse(Set.empty)

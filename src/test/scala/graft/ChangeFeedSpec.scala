@@ -39,7 +39,7 @@ class ChangeFeedSpec extends SparkSpec {
     // increment 1: bootstrap over the first two epochs
     Replayer.run(spark, events, source, maxEpoch = 5, upToEpoch = Some(1))
     assert(ChangeFeed.drain(spark, source, cursor)(
-      ChangeFeed.mirrorInto(spark, mirror)) == 1)
+      ChangeFeed.mirrorInto(spark, source, mirror)) == 1)
     assert(digest(mirror.snapshot(spark), "lang")
       == digest(source.snapshot(spark), "lang"))
 
@@ -51,7 +51,7 @@ class ChangeFeedSpec extends SparkSpec {
     def drainAll(): Unit = consumed += ChangeFeed.drain(spark, source,
       cursor) { inc =>
         incs += ((inc.fromVersion, inc.toVersion))
-        ChangeFeed.mirrorInto(spark, mirror)(inc)
+        ChangeFeed.mirrorInto(spark, source, mirror)(inc)
       }
     Replayer.run(spark, events, source, maxEpoch = 5, upToEpoch = Some(2))
     drainAll()
@@ -90,7 +90,7 @@ class ChangeFeedSpec extends SparkSpec {
       java.nio.file.Files.write(p, lastFrom.toString.getBytes("UTF-8"))
     }
     assert(ChangeFeed.drain(spark, source, cursor)(
-      ChangeFeed.mirrorInto(spark, mirror)) == 1)
+      ChangeFeed.mirrorInto(spark, source, mirror)) == 1)
     assert(mirror.currentVersion == vMirror,
       "re-delivered range must not re-commit")
     assert(digest(mirror.snapshot(spark), "language")
@@ -116,7 +116,7 @@ class ChangeFeedSpec extends SparkSpec {
     // tails live; the final post-stop drain picks up anything committed
     // between the last poll and the stop signal
     val n = ChangeFeed.follow(spark, source, cursor, pollIntervalMs = 20L)(
-      () => done)(ChangeFeed.mirrorInto(spark, mirror))
+      () => done)(ChangeFeed.mirrorInto(spark, source, mirror))
     committer.join()
     events.unpersist()
     assert(n >= 1)
@@ -140,7 +140,7 @@ class ChangeFeedSpec extends SparkSpec {
     val mirror = new LakeTable(tmpDir("feed-boot-mir"), 4)
     val cursor = new ChangeFeed.Cursor(tmpDir("feed-boot-cur") + "/cursor")
     assert(ChangeFeed.drain(spark, source, cursor)(
-      ChangeFeed.mirrorInto(spark, mirror)) == 1)
+      ChangeFeed.mirrorInto(spark, source, mirror)) == 1)
     assert(mirror.snapshot(spark).select("path").collect()
       .map(_.getString(0)).toSet == Set("b.scala"))
     // physically retained tombstone: a late re-delivered pre-delete event
@@ -161,5 +161,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("re-bootstrap"))
     // a caught-up cursor polls None
     assert(ChangeFeed.poll(spark, source, source.currentVersion).isEmpty)
+  }
+
+  test("a BOOTSTRAP over a stale mirror (last applied version vacuumed) " +
+      "is refused — GC'd tombstones could resurrect; re-delivery within " +
+      "retention stays legal") {
+    val source = new LakeTable(tmpDir("feed-stale-src"), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, source, maxEpoch = 1)
+    val mirror = new LakeTable(tmpDir("feed-stale-mir"), 4)
+    val cursor = new ChangeFeed.Cursor(tmpDir("feed-stale-cur") + "/cursor")
+    ChangeFeed.drain(spark, source, cursor)(
+      ChangeFeed.mirrorInto(spark, source, mirror))
+    val appliedV = mirror.currentManifest.get.epochWatermark
+    // crash-shape re-delivery of the SAME bootstrap (cursor lost, mirror
+    // still within retention) is legal and idempotent
+    ChangeFeed.poll(spark, source, after = 0L).foreach(
+      ChangeFeed.mirrorInto(spark, source, mirror))
+    // source runs far ahead; vacuum reclaims the mirror's applied version
+    Replayer.run(spark, events, source, maxEpoch = 5)
+    Maintenance.vacuum(source, retainVersions = 1, graceMillis = 0L)
+    assert(!source.hasVersion(appliedV), "applied version must be vacuumed")
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.poll(spark, source, after = 0L).foreach(
+        ChangeFeed.mirrorInto(spark, source, mirror))
+    }
+    assert(ex.getMessage.contains("FRESH root"))
   }
 }

@@ -317,7 +317,7 @@ class PipelineSpec extends SparkSpec {
     val d = deep.find(_.name == "visit_detail").get
     val rebuilt = new LakeTable(tmpDir("rebuild-vd"), 4, d.keyCols)
     val tables2 = tables + ("visit_detail" -> rebuilt)
-    assert(Pipeline.rebuildDomain(spark, source, d, tables2).isDefined)
+    assert(Pipeline.rebuildDomain(spark, source, d, tables2, deep).isDefined)
     assert(rebuilt.lastCommittedEpoch == 3)
     // full-refresh state == fold oracle over exactly epochs 0-3
     val st3 = FoldOracle.expectedState(
@@ -327,7 +327,7 @@ class PipelineSpec extends SparkSpec {
       == DomainOracle.visitDetailLines(st3))
     // a rebuild of an already-up-to-date target is refused
     val ex = intercept[IllegalArgumentException] {
-      Pipeline.rebuildDomain(spark, source, d, tables2)
+      Pipeline.rebuildDomain(spark, source, d, tables2, deep)
     }
     assert(ex.getMessage.contains("fresh (or lagging) root"))
     // incremental maintenance resumes seamlessly over the rebuilt root
@@ -441,6 +441,47 @@ class PipelineSpec extends SparkSpec {
         assert(tables("code_value").read(spark)
           .filter(col("lang") === "scala" && col("__deleted")).count() == 1,
           s"gate=$gate")
+      } finally gate.foreach(_ =>
+        System.clearProperty("graft.pipeline.broadcastGroupLimit"))
+    }
+  }
+
+  test("algebraic code_value: NULL lang is a real group — the fold's " +
+      "null-safe restriction folds its existing row and tombstones it at " +
+      "zero, identical in BOTH gate regimes") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val evs = Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.x", "c0", null, "aa", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.x", "c1", null, "bbb", 1),
+      ChangeEvent(2, 0, "I", "r2", "c.go", "c2", "go", "cc", 1),
+      // epoch 1: one more NULL-lang path — the fold must pick up the
+      // EXISTING (∅, 2) row via a NULL-matching restriction, not
+      // overwrite it with the bare delta (EqualTo never matches NULL)
+      ChangeEvent(3, 1, "I", "r2", "d.x", "c3", null, "d", 1),
+      // epoch 2: every NULL-lang path deleted → count 0 → tombstone
+      ChangeEvent(4, 2, "D", "r1", "a.x", "c4", null, "", 1),
+      ChangeEvent(5, 2, "D", "r1", "b.x", "c5", null, "", 1),
+      ChangeEvent(6, 2, "D", "r2", "d.x", "c6", null, "", 1))
+    Seq(None, Some("0")).foreach { gate =>
+      gate.foreach(System.setProperty("graft.pipeline.broadcastGroupLimit", _))
+      try {
+        val source = new LakeTable(tmpDir("alg-null-src"), 4)
+        val cv = Pipeline.omopDomainsDeep(spark)
+          .find(_.name == "code_value").get
+        val tables = Pipeline.openDomainTables(tmpDir("alg-null-dom"), Seq(cv), 2)
+        Pipeline.run(spark, evs.toDF(), source, Seq(cv), tables,
+          maxEpoch = 2, upToEpoch = Some(1))
+        assert(lines(tables("code_value").snapshot(spark), "lang",
+          "n_code_paths", "total_code_chars")
+          == Seq("go|1|2", "∅|3|6"), s"gate=$gate fold")
+        Pipeline.run(spark, evs.toDF(), source, Seq(cv), tables, maxEpoch = 2)
+        assert(lines(tables("code_value").snapshot(spark), "lang",
+          "n_code_paths", "total_code_chars")
+          == Seq("go|1|2"), s"gate=$gate tombstone")
+        assert(tables("code_value").read(spark)
+          .filter(col("lang").isNull && col("__deleted")).count() == 1,
+          s"gate=$gate physical tombstone")
       } finally gate.foreach(_ =>
         System.clearProperty("graft.pipeline.broadcastGroupLimit"))
     }
