@@ -432,9 +432,14 @@ object Bench {
         ("N=4 vs 4N=16: ", eff416, "")).collect {
         case (label, e, close) if !e.isNaN => f"$label$e%.3f$close"
       }
-      md.append("\nScaling efficiency (per-level minima): ")
-      md.append(effPairs.mkString("; "))
-      md.append(" (target ≥ 0.8 per BASELINE.json, primary pair 1v4).\n\n")
+      if (effPairs.nonEmpty) {
+        md.append("\nScaling efficiency (per-level minima): ")
+        md.append(effPairs.mkString("; "))
+        md.append(" (target ≥ 0.8 per BASELINE.json")
+        if (!eff14.isNaN) md.append(", primary pair 1v4")
+        md.append(").\n\n")
+      } else md.append("\nScaling efficiency: n/a — this ladder ran a " +
+        "single level (spot run); pairs live in the canonical full run.\n\n")
       if (!eff416.isNaN) {
         md.append("The 4v16 rung localizes where the single host's knee ")
         md.append("sits: 16-wide sustained load runs into the box's shared\n")

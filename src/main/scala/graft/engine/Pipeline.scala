@@ -129,10 +129,11 @@ object Pipeline {
     * twin, [[rebuildDomain]]) builds its upstream reader here, so no
     * consumer site can forget the view. */
   private def domainReader(spark: SparkSession, domains: Seq[DomainDef],
-      tables: Map[String, LakeTable])(n: String): DataFrame = {
-    val snap = tables(n).snapshot(spark)
-    domains.find(_.name == n).flatMap(_.view).fold(snap)(v => v(snap))
-  }
+      tables: Map[String, LakeTable])(n: String): DataFrame =
+    domains.find(_.name == n) match {
+      case Some(d) => readDomain(spark, d, tables(n))
+      case None => tables(n).snapshot(spark)
+    }
 
   /** Measures of an algebraically-maintained rollup: every measure is a
     * LONG-valued SUM of a per-source-row contribution (`countName` is the
@@ -497,7 +498,13 @@ object Pipeline {
       // to the affected groups pushes below the latest_by collapse (see
       // latestPerKey), so each consumer's read is O(affected) — cheaper
       // at scale than persisting O(table) upstream state per epoch even
-      // when several domains share one upstream
+      // when several domains share one upstream. For a VIEWED upstream
+      // (today only `location`) the read adds the view's aggregate on
+      // top: a restriction on the view's grouping columns still pushes
+      // below it (stock PushDownLeftSemiAntiJoin handles grouping-only
+      // conditions) and on below the collapse; one on a derived measure
+      // column would re-aggregate the affected sub-grain — acceptable,
+      // since the sub-grain is itself already O(groups), not O(source)
       val upstreamSnap: String => DataFrame = domainReader(spark, domains, tables)
       try domains.foreach { d =>
         val dTable = tables(d.name)

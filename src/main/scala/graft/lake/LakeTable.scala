@@ -64,10 +64,17 @@ final case class Manifest(
     renames: Map[String, Seq[String]], // canonical col -> former names (newest first)
     files: Seq[ManifestFile],
     lineage: Map[String, String], // per-commit metrics: events, conflicts, bytes, ...
-    lineageEpochFloor: Long = 0L  // epochs below this were truncated from
+    lineageEpochFloor: Long = 0L, // epochs below this were truncated from
                                   // `lineage`; ascending-contiguous commit
                                   // order proves them committed (full
                                   // history survives in old manifests)
+    tombstoneFloor: Long = -1L    // max tombstoneWatermark any compaction
+                                  // ever GC'd with (monotone): delete
+                                  // tombstones with updated_seq <= this may
+                                  // be physically gone from head state, so a
+                                  // bootstrap consumer whose lastSeq is
+                                  // below it cannot safely fold the head
+                                  // over its stale rows (ChangeFeed guards)
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def baseFiles: Seq[ManifestFile] = files.filter(_.tier == "base")
@@ -192,7 +199,9 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
       lineage = node.get("lineage").properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap,
       lineageEpochFloor = Option(node.get("lineageEpochFloor"))
-        .map(_.asLong()).getOrElse(0L)
+        .map(_.asLong()).getOrElse(0L),
+      tombstoneFloor = Option(node.get("tombstoneFloor"))
+        .map(_.asLong()).getOrElse(-1L)
     )
     require(m.bucketFn == LakeTable.BucketFn,
       s"table $root was written with bucket function '${m.bucketFn}' but " +
@@ -228,6 +237,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     val lin = node.putObject("lineage")
     m.lineage.foreach { case (k, v) => lin.put(k, v) }
     node.put("lineageEpochFloor", m.lineageEpochFloor)
+    node.put("tombstoneFloor", m.tombstoneFloor)
 
     val tmp = Files.createTempFile(logDir, ".tmp-manifest", ".json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))

@@ -191,7 +191,11 @@ object Maintenance {
       // a partial compaction leaves old-named files → mapping must survive
       renames = if (buckets.isEmpty) Map.empty else current.renames,
       lineage = cappedLineage,
-      lineageEpochFloor = linFloor)
+      lineageEpochFloor = linFloor,
+      // monotone: records the deepest tombstone GC this table ever ran, so
+      // feed consumers can tell whether a bootstrap still carries every
+      // delete they might not have applied (ChangeFeed.mirrorInto)
+      tombstoneFloor = math.max(current.tombstoneFloor, tombstoneWatermark))
     if (table.tryCommit(manifest)) Some(manifest) else None
   }
 

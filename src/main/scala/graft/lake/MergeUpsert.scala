@@ -362,7 +362,8 @@ object MergeUpsert {
         renames = m.map(_.renames).getOrElse(Map.empty),
         files = m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
         lineage = lin,
-        lineageEpochFloor = linFloor)
+        lineageEpochFloor = linFloor,
+        tombstoneFloor = m.map(_.tombstoneFloor).getOrElse(-1L))
     }
 
     // 4. CAS commit with re-base on loss: delta files are immutable and

@@ -160,13 +160,20 @@ object ChangeFeed {
     *
     * Bootstrap safety (ENFORCED, not just documented): a bootstrap
     * increment (`fromVersion == 0`) carries only tombstones still
-    * retained upstream, so folding it over a mirror that last applied a
-    * source version now vacuumed past retention could permanently
-    * resurrect keys whose tombstones were GC'd — that merge throws.
-    * The legal non-empty-mirror bootstraps remain: crash re-delivery of
-    * the bootstrap itself, and a lost cursor whose mirror is still
-    * within the source's manifest retention (the same lag contract
-    * [[poll]] enforces on an incremental cursor). */
+    * physically retained upstream, so folding it over a stale mirror
+    * could permanently resurrect keys whose tombstones are gone. GONE has
+    * two independent axes, both guarded: (a) the mirror's last applied
+    * source VERSION was vacuumed past manifest retention; (b) compaction
+    * ran with a `tombstoneWatermark` (the manifest's monotone
+    * `tombstoneFloor`) above the mirror's applied seq — the manifest may
+    * still be on disk while the tombstones inside head state are not.
+    * The mirror's `lastSeq` is the exact safety line for (b): increments
+    * apply in contiguous version order, so every source change with
+    * `seq <= lastSeq` is already folded in, and a GC'd tombstone at or
+    * below it cannot resurrect anything. The legal non-empty-mirror
+    * bootstraps remain: crash re-delivery of the bootstrap itself, and a
+    * lost cursor whose mirror is still within BOTH retention axes (the
+    * same lag contract [[poll]] enforces on an incremental cursor). */
   def mirrorInto(spark: SparkSession, source: LakeTable, mirror: LakeTable)
                 (inc: Increment): Unit = {
     if (inc.fromVersion == 0L) {
@@ -178,6 +185,15 @@ object ChangeFeed {
             "vacuumed past the manifest-retention floor — tombstones " +
             "committed since may be GC'd and the stale mirror rows they " +
             "deleted would resurrect; re-bootstrap into a FRESH root")
+      val tombFloor = source.currentManifest.map(_.tombstoneFloor).getOrElse(-1L)
+      if (applied >= 0L && mirror.lastSeq < tombFloor)
+        throw new IllegalStateException(
+          s"mirrorInto(${mirror.root}): refusing to fold a BOOTSTRAP over " +
+            s"a mirror whose applied seq ${mirror.lastSeq} is below the " +
+            s"source's tombstone-GC floor $tombFloor — deletes the mirror " +
+            "never applied were compacted out of head state and their " +
+            "stale mirror rows would resurrect; re-bootstrap into a " +
+            "FRESH root")
     }
     inc.renames.foreach { case (from, to) =>
       val cols = mirror.currentManifest

@@ -188,4 +188,52 @@ class ChangeFeedSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("FRESH root"))
   }
+
+  test("a BOOTSTRAP over a mirror that predates a tombstone-GC compaction " +
+      "is refused even with every manifest still on disk; a mirror that " +
+      "applied the delete re-bootstraps legally") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("feed-tgc-src"), 4)
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.scala", "c0", "scala", "x", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.scala", "c1", "scala", "y", 1)
+    ).toDF(), 0L)
+    // stale mirror: bootstrapped while a.scala was live, then lost its cursor
+    val stale = new LakeTable(tmpDir("feed-tgc-stale"), 4)
+    val staleCur = new ChangeFeed.Cursor(tmpDir("feed-tgc-sc") + "/cursor")
+    ChangeFeed.drain(spark, source, staleCur)(
+      ChangeFeed.mirrorInto(spark, source, stale))
+    // live mirror: keeps draining through the delete below
+    val live = new LakeTable(tmpDir("feed-tgc-live"), 4)
+    val liveCur = new ChangeFeed.Cursor(tmpDir("feed-tgc-lc") + "/cursor")
+    ChangeFeed.drain(spark, source, liveCur)(
+      ChangeFeed.mirrorInto(spark, source, live))
+
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(2, 1, "D", "r1", "a.scala", "c2", "scala", "", 1)
+    ).toDF(), 1L)
+    ChangeFeed.drain(spark, source, liveCur)(
+      ChangeFeed.mirrorInto(spark, source, live)) // live applies the delete
+    // GC the tombstone out of HEAD STATE; every manifest stays on disk
+    assert(Maintenance.compactTombstones(spark, source, watermark = 2L).isDefined)
+    assert(source.read(spark).filter(col("__deleted")).count() == 0,
+      "tombstone must be physically gone")
+    val staleApplied = stale.currentManifest.get.epochWatermark
+    assert(source.hasVersion(staleApplied),
+      "the manifest-retention axis must be green — this is the GC axis")
+    // the stale mirror's lost-cursor bootstrap must refuse: a.scala's
+    // delete was GC'd and its stale live row would resurrect
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.poll(spark, source, after = 0L).foreach(
+        ChangeFeed.mirrorInto(spark, source, stale))
+    }
+    assert(ex.getMessage.contains("tombstone-GC floor"))
+    // the live mirror applied the delete (lastSeq >= floor): its
+    // lost-cursor bootstrap is legal, idempotent, and converges
+    ChangeFeed.poll(spark, source, after = 0L).foreach(
+      ChangeFeed.mirrorInto(spark, source, live))
+    assert(live.snapshot(spark).select("path").collect()
+      .map(_.getString(0)).toSet == Set("b.scala"))
+  }
 }
