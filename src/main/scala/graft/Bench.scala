@@ -57,7 +57,16 @@ object Bench {
     * the tightly-repeated ladder children); true streams it through for
     * progress visibility on long singles. */
   private def childMain(mainClass: String, args: Seq[String], marker: String,
-                        inheritStderr: Boolean = true): Option[String] = {
+                        inheritStderr: Boolean = true): Option[String] =
+    marked(childRun(mainClass, args, inheritStderr), marker)
+
+  private def marked(out: String, marker: String): Option[String] =
+    out.linesIterator.collectFirst {
+      case l if l.startsWith(marker) => l.stripPrefix(marker)
+    }
+
+  private def childRun(mainClass: String, args: Seq[String],
+                       inheritStderr: Boolean): String = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -74,19 +83,32 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
     proc.waitFor()
-    out.linesIterator.collectFirst {
-      case l if l.startsWith(marker) => l.stripPrefix(marker)
-    }
+    out
   }
+
+  /** One timed replay's measurements: `wall` is the child's timed-window
+    * wall clock; `cpu`/`run`/`gc` are its summed task metrics
+    * (executorCpuTime / executorRunTime / jvmGCTime seconds). CPU-seconds
+    * is the window-robust half of the scaling evidence — see the
+    * listener comment in [[BenchReplay]]. */
+  final case class Replay(wall: Double, cpu: Double, run: Double, gc: Double)
 
   /** Timed replay at parallelism `cpus` in a fresh child JVM. */
   private def replayOnce(cpus: Int, walDir: String, epochs: Long,
-                         warmWal: String): Double =
-    childMain("graft.BenchReplay",
+                         warmWal: String): Replay = {
+    val out = childRun("graft.BenchReplay",
       Seq(cpus.toString, walDir, epochs.toString, warmWal),
-      "REPLAY_SECONDS=", inheritStderr = false)
-      .map(_.toDouble)
+      inheritStderr = false)
+    val wall = marked(out, "REPLAY_SECONDS=").map(_.toDouble)
       .getOrElse(sys.error(s"BenchReplay(p=$cpus) produced no result"))
+    val met: Map[String, Double] = marked(out, "REPLAY_METRICS=")
+      .map(_.split(' ').flatMap(_.split('=') match {
+        case Array(k, v) => v.toDoubleOption.map(k -> _)
+        case _ => None
+      }).toMap).getOrElse(Map.empty)
+    def m(k: String) = met.getOrElse(k, Double.NaN)
+    Replay(wall, m("cpu"), m("run"), m("gc"))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,7 +253,7 @@ object Bench {
     // valid with 2 reps)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "1500").toDouble
     val repStart = System.nanoTime()
-    val repBuf = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
+    val repBuf = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Replay]]
     var r = 1
     while (r <= reps &&
         (r == 1 || (System.nanoTime() - repStart) / 1e9 < budgetSec)) {
@@ -240,20 +262,26 @@ object Bench {
       val order = if (r % 2 == 1) levels.reverse else levels
       val m = order.map(p => p -> replayOnce(p, walDir, cdcEpochs, warmWal)).toMap
       System.err.println(f"[bench] cdc rep$r " +
-        levels.map(p => f"local[$p]=${m(p)}%.1fs").mkString(" "))
+        levels.map(p =>
+          f"local[$p]=${m(p).wall}%.1fs(cpu ${m(p).cpu}%.0fs)").mkString(" "))
       repBuf += m
       r += 1
     }
     if (repBuf.size < reps)
       System.err.println(f"[bench] cdc wall budget ${budgetSec}%.0fs reached " +
         s"after ${repBuf.size} reps (min-estimator remains valid)")
-    val repRows: Seq[Map[Int, Double]] = repBuf.toSeq
+    val repRows: Seq[Map[Int, Replay]] = repBuf.toSeq
     // PRIMARY estimator: per-level MINIMA across reps. Host contention
     // only ever ADDS wall time (identical replays measured 225 vs 871
     // executor core-seconds on this box), so the minimum is the cleanest
     // estimate of each level's true runtime on an unloaded machine — the
     // same reason Python timeit reports min, not mean.
-    val tMin: Map[Int, Double] = levels.map(p => p -> repRows.map(_(p)).min).toMap
+    val tMin: Map[Int, Double] = levels.map(p => p -> repRows.map(_(p).wall).min).toMap
+    // the min-wall rep's full measurement per level: its cpu_sec rides
+    // into the JSON as the window-robust work-conservation signal (flat
+    // cpu across levels = no engine coordination overhead)
+    val atMin: Map[Int, Replay] =
+      levels.map(p => p -> repRows.map(_(p)).minBy(_.wall)).toMap
     def eff(lo: Int, hi: Int): Double =
       if (tMin.contains(lo) && tMin.contains(hi))
         (tMin(lo) / tMin(hi)) / (hi.toDouble / lo) else Double.NaN
@@ -320,8 +348,15 @@ object Bench {
     val secs = levels.map(p => f""""sec_p$p":${tMin(p)}%.3f""").mkString(",")
     val evps = levels.map(p =>
       f""""events_per_sec_p$p":${delivered / tMin(p)}%.0f""").mkString(",")
+    // executor cpu-seconds of each level's min-wall rep (absent if the
+    // child emitted no metrics line)
+    val cpuSecs = levels.flatMap { p =>
+      val m = atMin(p)
+      if (m.cpu.isNaN) None else Some(f""""cpu_sec_p$p":${m.cpu}%.1f""")
+    }.mkString(",")
+    val cpuSecsJson = if (cpuSecs.isEmpty) "" else cpuSecs + ","
     val cdc = f"""{"events":$delivered,"epochs":$cdcEpochs,""" +
-      f""""levels":[${levels.mkString(",")}],$secs,$evps,""" +
+      f""""levels":[${levels.mkString(",")}],$secs,$evps,$cpuSecsJson""" +
       s""""scaling_efficiency":${jnum(efficiency)},""" +
       s""""scaling_efficiency_1v4":${jnum(eff14)},""" +
       s""""scaling_efficiency_2v8":${jnum(eff28)},""" +
@@ -416,14 +451,19 @@ object Bench {
       md.append("scaling — no real cluster here). The timed window covers\n")
       md.append("every epoch's delta merge PLUS the final compaction, so the\n")
       md.append("throughput is end-state-queryable ingest, not log-append.\n\n")
-      md.append("| parallelism | wall s (min over reps) | events/sec |\n|---|---|---|\n")
+      md.append("| parallelism | wall s (min over reps) | events/sec | executor cpu s (min-wall rep) |\n|---|---|---|---|\n")
       levels.foreach { pl =>
-        md.append(f"| local[$pl] | ${tMin(pl)}%.1f | ${delivered / tMin(pl)}%.0f |\n")
+        val cpu = if (atMin(pl).cpu.isNaN) "—" else f"${atMin(pl).cpu}%.0f"
+        md.append(f"| local[$pl] | ${tMin(pl)}%.1f | ${delivered / tMin(pl)}%.0f | $cpu |\n")
       }
+      md.append("\nFlat executor cpu-seconds across levels = the plans do the ")
+      md.append("same total work at every parallelism (no coordination\n")
+      md.append("overhead added by widening) — the window-robust half of the ")
+      md.append("scaling evidence.\n")
       md.append("\nPer-rep walls (ladder order alternates per rep):\n\n")
       repRows.zipWithIndex.foreach { case (m, i) =>
         md.append(s"- rep${i + 1}: " +
-          levels.map(pl => f"local[$pl]=${m(pl)}%.1fs").mkString(" ") + "\n")
+          levels.map(pl => f"local[$pl]=${m(pl).wall}%.1fs").mkString(" ") + "\n")
       }
       // only pairs whose BOTH levels ran this ladder (SPARK_GRAFT_P_LEVELS
       // can exclude a level — an absent pair must drop out, not print NaN)

@@ -92,6 +92,30 @@ object BenchReplay {
       Replayer.run(spark, spark.read.parquet(warmWal), warmTable, maxEpoch = 1,
         compactEvery = 2)
 
+      // Task-metric totals of the TIMED window (registered after warm-up).
+      // CPU-seconds is the window-robust scaling signal: a work-conserving
+      // plan does the SAME total work at every parallelism level, so flat
+      // cpu_sec across the ladder pins any wall-clock efficiency loss on
+      // the host (bus contention, steal, scheduling gaps) rather than on
+      // engine coordination — measurable even in windows whose wall times
+      // are noise.
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
+      val gcMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null) {
+              runMs.addAndGet(m.executorRunTime)
+              cpuNs.addAndGet(m.executorCpuTime)
+              gcMs.addAndGet(m.jvmGCTime)
+              ()
+            }
+          }
+        })
+
       // the timed window covers the FULL ingest contract: every epoch's
       // delta merge PLUS the final compaction folding deltas into the base
       // tier — the reported events/sec is end-state-queryable throughput,
@@ -107,7 +131,21 @@ object BenchReplay {
       require(table.currentManifest.exists(_.deltaFiles.isEmpty))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table.root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmTable.root))
+      // Listener events are delivered asynchronously: poll until the
+      // totals are stable for two consecutive 200ms reads (bounded 5s) —
+      // no private listener-bus API needed for a measurement main.
+      var last = (-1L, -1L)
+      var stable = 0
+      var polls = 0
+      while (stable < 2 && polls < 25) {
+        val cur = (runMs.get, cpuNs.get)
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        if (stable < 2) Thread.sleep(200)
+        polls += 1
+      }
       println(f"REPLAY_SECONDS=$dt%.3f")
+      println(f"REPLAY_METRICS=cpu=${cpuNs.get / 1e9}%.3f " +
+        f"run=${runMs.get / 1e3}%.3f gc=${gcMs.get / 1e3}%.3f")
     } finally spark.stop()
   }
 }
