@@ -401,6 +401,45 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
                  buckets: Option[Set[Int]] = None): DataFrame =
     live(readAt(spark, version, buckets))
 
+  /** Point lookup: live rows of an explicit driver-side list of business
+    * keys, scanning ONLY the buckets those keys hash to. Each element of
+    * `keys` supplies one value per [[keyCols]] column, in order.
+    *
+    * The reference's consumers are full of patient-level point queries
+    * (e.g. the per-MRN probes in Delphi/MSSQL_Vertica_Translations); at
+    * 10^10 rows a point read must not list-and-scan the whole table. The
+    * bucket of each key derives via the SAME Catalyst expression the
+    * writer used ([[MergeUpsert.bucketOf]], identity pinned by the
+    * manifest's `bucketFn` check), evaluated over a one-LocalRelation
+    * plan — so k keys read at most k of [[numBuckets]] file groups and
+    * the merge-on-read collapse runs over those buckets only. Pruning is
+    * exact, not heuristic: a key's every row version hashes to one
+    * bucket, so the pruned scan sees the key's full history (same safety
+    * rule as [[snapshot]]'s `buckets` parameter). Equality is null-safe
+    * (`<=>`), matching the writer's hash of null key components. */
+  def lookupKeys(spark: SparkSession, keys: Seq[Seq[Any]]): DataFrame = {
+    val kc = keyCols
+    require(keys.nonEmpty, "lookupKeys: empty key list")
+    require(keys.forall(_.size == kc.size),
+      s"lookupKeys: each key must supply ${kc.size} value(s) for " +
+        s"(${kc.mkString(", ")})")
+    currentManifest match {
+      case None => spark.emptyDataFrame
+      case Some(m) =>
+        val keySchema = StructType(kc.map(c => m.schema(c)))
+        val local = spark.createDataFrame(
+          keys.map(k => org.apache.spark.sql.Row(k: _*)).asJava, keySchema)
+        val buckets = local
+          .select(MergeUpsert.bucketOf(numBuckets, kc).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val pred = keys.map(k =>
+          kc.zip(k).map { case (c, v) =>
+            col(c) <=> org.apache.spark.sql.functions.lit(v)
+          }.reduce(_ && _)).reduce(_ || _)
+        snapshot(spark, Some(buckets)).filter(pred)
+    }
+  }
+
   /** CDC-OUT: the table read as a CHANGE STREAM — every row version
     * committed after manifest `fromVersion`, i.e. the per-epoch winner
     * rows (upserts AND `__deleted` tombstones) of every delta commit in
