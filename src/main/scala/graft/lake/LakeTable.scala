@@ -426,18 +426,50 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     currentManifest match {
       case None => spark.emptyDataFrame
       case Some(m) =>
-        val keySchema = StructType(kc.map(c => m.schema(c)))
-        val local = spark.createDataFrame(
-          keys.map(k => org.apache.spark.sql.Row(k: _*)).asJava, keySchema)
-        val buckets = local
-          .select(MergeUpsert.bucketOf(numBuckets, kc).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val pred = keys.map(k =>
-          kc.zip(k).map { case (c, v) =>
-            col(c) <=> org.apache.spark.sql.functions.lit(v)
-          }.reduce(_ && _)).reduce(_ || _)
+        val (buckets, pred) = keyBucketsAndPred(spark, m, keys)
         snapshot(spark, Some(buckets)).filter(pred)
     }
+  }
+
+  /** The bucket set an explicit key list hashes to, and the null-safe
+    * equality predicate selecting exactly those keys — the shared
+    * derivation of [[lookupKeys]] and [[changesForKeys]]. The bucket
+    * evaluates over a one-LocalRelation plan through the SAME Catalyst
+    * expression the writer used. */
+  private def keyBucketsAndPred(spark: SparkSession, m: Manifest,
+      keys: Seq[Seq[Any]]): (Set[Int], Column) = {
+    val kc = keyCols
+    val keySchema = StructType(kc.map(c => m.schema(c)))
+    val local = spark.createDataFrame(
+      keys.map(k => org.apache.spark.sql.Row(k: _*)).asJava, keySchema)
+    val buckets = local
+      .select(MergeUpsert.bucketOf(numBuckets, kc).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pred = keys.map(k =>
+      kc.zip(k).map { case (c, v) =>
+        col(c) <=> org.apache.spark.sql.functions.lit(v)
+      }.reduce(_ && _)).reduce(_ || _)
+    (buckets, pred)
+  }
+
+  /** [[changesSince]] restricted to an explicit key list: the change
+    * stream of just those keys over `(fromVersion, head]`, reading only
+    * the interval's delta files in the buckets the keys hash to (exact
+    * for the same reason as [[lookupKeys]] — a key's every row version
+    * lands in one bucket). The key-restricted consumer contract is the
+    * per-key slice of the full one: old per-key state + these changes
+    * folds to [[lookupKeys]]' head state. */
+  def changesForKeys(spark: SparkSession, fromVersion: Long,
+                     keys: Seq[Seq[Any]]): DataFrame = {
+    val kc = keyCols
+    require(keys.nonEmpty, "changesForKeys: empty key list")
+    require(keys.forall(_.size == kc.size),
+      s"changesForKeys: each key must supply ${kc.size} value(s) for " +
+        s"(${kc.mkString(", ")})")
+    val head = currentVersion
+    require(head > 0, s"$root has no commits")
+    val (buckets, pred) = keyBucketsAndPred(spark, readManifest(head), keys)
+    changesSince(spark, fromVersion, Some(buckets)).filter(pred)
   }
 
   /** CDC-OUT: the table read as a CHANGE STREAM — every row version
@@ -467,7 +499,12 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     * appears at version w is applied only to files added BEFORE w, so a
     * retired name legitimately re-introduced as a new column later is
     * never hijacked. */
-  def changesSince(spark: SparkSession, fromVersion: Long): DataFrame = {
+  /** `buckets` prunes the interval's delta files to the named buckets
+    * before any scan — safe for key-restricted consumers by the same
+    * rule as [[snapshot]]'s parameter (a key's every row version hashes
+    * to exactly one bucket); [[changesForKeys]] is the keyed wrapper. */
+  def changesSince(spark: SparkSession, fromVersion: Long,
+                   buckets: Option[Set[Int]] = None): DataFrame = {
     val head = currentVersion
     require(head > 0, s"$root has no commits")
     require(Files.exists(versionPath(fromVersion)),
@@ -485,7 +522,8 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
         if (!aliasFirstSeen.contains(former))
           aliasFirstSeen(former) = (canon, v)
       }
-      val added = m.files.filter(f => f.tier == "delta" && !prev.contains(f.path))
+      val added = m.files.filter(f => f.tier == "delta" &&
+        !prev.contains(f.path) && buckets.forall(_.contains(f.bucket)))
       prev = m.files.map(_.path).toSet
       if (added.nonEmpty) groups += ((m, added))
     }

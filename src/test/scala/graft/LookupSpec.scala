@@ -103,6 +103,39 @@ class LookupSpec extends SparkSpec {
     } finally snap.unpersist()
   }
 
+  test("changesForKeys tails only the keys' buckets and folds to the head lookup") {
+    val table = new LakeTable(tmpDir("lookup-cdc"), 8)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    Replayer.run(spark, events, table, maxEpoch = 3, upToEpoch = Some(1))
+    val vMid = table.currentVersion
+    Replayer.run(spark, events, table, maxEpoch = 3)
+    val keys = table.snapshot(spark).select("repo", "path")
+      .orderBy("repo", "path").head(3)
+      .map(r => Seq[Any](r.getString(0), r.getString(1))).toSeq
+    val pred = keys.map(k =>
+      col("repo") === k(0) && col("path") === k(1)).reduce(_ || _)
+    val got = table.changesForKeys(spark, vMid, keys)
+    // differential: exactly the keyed slice of the full change stream
+    assert(got.collect().toSet ==
+      table.changesSince(spark, vMid).filter(pred).collect().toSet)
+    // pruning: reads a strict subset of the interval's delta files
+    // (3 keys hash to at most 3 of 8 buckets; both epochs of the
+    // interval touch every bucket at this scale)
+    val scannedKeyed = scannedFiles(got)
+    val scannedFull = scannedFiles(table.changesSince(spark, vMid))
+    assert(scannedKeyed.subsetOf(scannedFull))
+    assert(scannedKeyed.size < scannedFull.size)
+    // the keyed consumer contract: per-key old state + keyed changes
+    // folds (engine's own latest-wins collapse) to the head lookup
+    val old = table.readAt(spark, vMid).filter(pred)
+    val folded = graft.lake.MergeUpsert.latestPerKey(
+      old.unionByName(got, allowMissingColumns = true),
+      Seq("updated_seq", "commit"), table.keyCols)
+      .filter(!col("__deleted")).drop("__deleted")
+    assert(folded.collect().toSet ==
+      table.lookupKeys(spark, keys).collect().toSet)
+  }
+
   test("arity mismatch and empty key list are loud errors") {
     val table = builtTable()
     intercept[IllegalArgumentException] {
