@@ -132,6 +132,16 @@ object Bench {
     // comma-separated allowlist for quick spot-timing of specific queries
     val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
       .map(_.split(",").map(_.trim).toSet)
+    // A SPOT run (partial ladder, skipped/filtered queries) must not
+    // overwrite the canonical artifacts — BENCH_LATEST.json / BENCH.md
+    // hold the latest clean FULL run (BASELINE.md's canonicality rule)
+    // and window-chasing probe batches were repeatedly clobbering them.
+    // Spot results land in BENCH_SPOT.{json,md} instead; stdout contract
+    // (last-line JSON) is identical either way.
+    val spotRun = skipQueries || filter.nonEmpty ||
+      levels != Seq(1, 2, 4, 8, 16)
+    val latestFile = if (spotRun) "BENCH_SPOT.json" else "BENCH_LATEST.json"
+    val mdFile = if (spotRun) "BENCH_SPOT.md" else "BENCH.md"
     val spark = session(cpus)
     // JIT/codegen/parquet-reader warmup: the first timed query otherwise
     // absorbs ~2-4s of one-time infrastructure cost (observed on
@@ -394,7 +404,7 @@ object Bench {
       f""""system_sec":$sysTotal%.1f,"cdc":$cdc""" +
       annSection.map(a => s""","ann_crossover":$a""").getOrElse("") +
       endHeadline +
-      s""","full":"BENCH_LATEST.json","sf":"$sfDir"}"""
+      s""","full":"$latestFile","sf":"$sfDir"}"""
 
     // the driver parses the LAST stdout line, but sbt appends its own
     // "[success] Total time..." trailer after main returns (r1+r2 BENCH
@@ -406,7 +416,7 @@ object Bench {
     // fork's pipe immediately, (c) waits for the sbt JVM to exit — i.e.
     // after its trailer — then cats the JSON there. Bounded poll (3 min)
     // so a stuck sbt can never leak the helper.
-    try Files.writeString(Paths.get("BENCH_LATEST.json"), jsonLine + "\n")
+    try Files.writeString(Paths.get(latestFile), jsonLine + "\n")
     catch { case _: Throwable => () }
     println(jsonLine)
     println(compactLine)
@@ -545,7 +555,7 @@ object Bench {
       results.foreach { case (k, v) => md.append(f"| $k | $v%.2f |\n") }
       sysResults.foreach { case (k, v) =>
         md.append(f"| $k (system, excluded from total) | $v%.2f |\n") }
-      Files.writeString(Paths.get("BENCH.md"), md.toString)
+      Files.writeString(Paths.get(mdFile), md.toString)
     } catch { case _: Throwable => () }
   }
 }
