@@ -132,14 +132,20 @@ object Bench {
     // comma-separated allowlist for quick spot-timing of specific queries
     val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
       .map(_.split(",").map(_.trim).toSet)
-    // A SPOT run (partial ladder, skipped/filtered queries) must not
-    // overwrite the canonical artifacts — BENCH_LATEST.json / BENCH.md
-    // hold the latest clean FULL run (BASELINE.md's canonicality rule)
-    // and window-chasing probe batches were repeatedly clobbering them.
-    // Spot results land in BENCH_SPOT.{json,md} instead; stdout contract
-    // (last-line JSON) is identical either way.
+    // A SPOT run — ANY knob moved off the canonical full-run defaults
+    // (partial ladder, skipped/filtered queries, shrunk CDC load, other
+    // SF dir, disabled endurance, ...) — must not overwrite the canonical
+    // artifacts: BENCH_LATEST.json / BENCH.md hold the latest clean FULL
+    // run (BASELINE.md's canonicality rule) and window-chasing probe
+    // batches were repeatedly clobbering them. Spot results land in
+    // BENCH_SPOT.{json,md} instead; stdout contract (last-line JSON) is
+    // identical either way.
     val spotRun = skipQueries || filter.nonEmpty ||
-      levels != Seq(1, 2, 4, 8, 16)
+      levels != Seq(1, 2, 4, 8, 16) ||
+      cdcEvents != 16000000L || cdcEpochs != 4L ||
+      sfDir != "/root/testdata/sf0.1" || cpus != 32 ||
+      sys.env.get("SPARK_GRAFT_CDC_REPS").exists(_ != "3") ||
+      sys.env.get("SPARK_GRAFT_ENDURANCE").contains("0")
     val latestFile = if (spotRun) "BENCH_SPOT.json" else "BENCH_LATEST.json"
     val mdFile = if (spotRun) "BENCH_SPOT.md" else "BENCH.md"
     val spark = session(cpus)

@@ -86,19 +86,17 @@ object BenchReplay {
             System.err.println(s"[job ${je.jobId} end   t=${je.time}]")
         })
     try {
-      // JIT/codegen warm-up on a small WAL, then the timed replay
-      val base = java.nio.file.Paths.get(scratch)
-      val warmTable = new LakeTable(Files.createTempDirectory(base, "graft-warm-").toString, 64)
-      Replayer.run(spark, spark.read.parquet(warmWal), warmTable, maxEpoch = 1,
-        compactEvery = 2)
-
-      // Task-metric totals of the TIMED window (registered after warm-up).
-      // CPU-seconds is the window-robust scaling signal: a work-conserving
-      // plan does the SAME total work at every parallelism level, so flat
-      // cpu_sec across the ladder pins any wall-clock efficiency loss on
-      // the host (bus contention, steal, scheduling gaps) rather than on
-      // engine coordination — measurable even in windows whose wall times
-      // are noise.
+      // Task-metric totals (cumulative). CPU-seconds is the window-robust
+      // scaling signal: a work-conserving plan does the SAME total work at
+      // every parallelism level, so flat cpu_sec across the ladder pins
+      // any wall-clock efficiency loss on the host (bus contention, steal,
+      // scheduling gaps) rather than on engine coordination — measurable
+      // even in windows whose wall times are noise. Registered BEFORE the
+      // warm-up and baselined after it: the listener bus is asynchronous,
+      // so a listener attached between warm-up and the timed run could
+      // still receive queued warm-up stage events and book their cpu into
+      // the timed window; instead, totals are snapshotted once the queue
+      // drains (stable-totals poll) and the timed window reports deltas.
       val runMs = new java.util.concurrent.atomic.AtomicLong
       val cpuNs = new java.util.concurrent.atomic.AtomicLong
       val gcMs = new java.util.concurrent.atomic.AtomicLong
@@ -115,6 +113,28 @@ object BenchReplay {
             }
           }
         })
+      // Listener events are delivered asynchronously: poll until the
+      // totals are stable for two consecutive 200ms reads (bounded 5s) —
+      // no private listener-bus API needed for a measurement main.
+      def drainListener(): Unit = {
+        var last = (-1L, -1L)
+        var stable = 0
+        var polls = 0
+        while (stable < 2 && polls < 25) {
+          val cur = (runMs.get, cpuNs.get)
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+          if (stable < 2) Thread.sleep(200)
+          polls += 1
+        }
+      }
+
+      // JIT/codegen warm-up on a small WAL, then the timed replay
+      val base = java.nio.file.Paths.get(scratch)
+      val warmTable = new LakeTable(Files.createTempDirectory(base, "graft-warm-").toString, 64)
+      Replayer.run(spark, spark.read.parquet(warmWal), warmTable, maxEpoch = 1,
+        compactEvery = 2)
+      drainListener()
+      val (runMs0, cpuNs0, gcMs0) = (runMs.get, cpuNs.get, gcMs.get)
 
       // the timed window covers the FULL ingest contract: every epoch's
       // delta merge PLUS the final compaction folding deltas into the base
@@ -131,21 +151,11 @@ object BenchReplay {
       require(table.currentManifest.exists(_.deltaFiles.isEmpty))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table.root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmTable.root))
-      // Listener events are delivered asynchronously: poll until the
-      // totals are stable for two consecutive 200ms reads (bounded 5s) —
-      // no private listener-bus API needed for a measurement main.
-      var last = (-1L, -1L)
-      var stable = 0
-      var polls = 0
-      while (stable < 2 && polls < 25) {
-        val cur = (runMs.get, cpuNs.get)
-        if (cur == last) stable += 1 else { stable = 0; last = cur }
-        if (stable < 2) Thread.sleep(200)
-        polls += 1
-      }
+      drainListener()
       println(f"REPLAY_SECONDS=$dt%.3f")
-      println(f"REPLAY_METRICS=cpu=${cpuNs.get / 1e9}%.3f " +
-        f"run=${runMs.get / 1e3}%.3f gc=${gcMs.get / 1e3}%.3f")
+      println(f"REPLAY_METRICS=cpu=${(cpuNs.get - cpuNs0) / 1e9}%.3f " +
+        f"run=${(runMs.get - runMs0) / 1e3}%.3f " +
+        f"gc=${(gcMs.get - gcMs0) / 1e3}%.3f")
     } finally spark.stop()
   }
 }

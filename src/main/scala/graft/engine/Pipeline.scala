@@ -148,7 +148,19 @@ object Pipeline {
     * has no finite-grain decomposition, so domains carrying it
     * (care_site, provider) stay on the recompute path. */
   final case class AlgebraicSpec(countName: String,
-                                 sums: Seq[(String, Column)])
+                                 sums: Seq[(String, Column)]) {
+    /** The canonical per-source-row contribution columns — the SINGLE
+      * definition both the generated full transform and the delta fold
+      * aggregate over. NULL contributions coalesce to 0 HERE, in the one
+      * shared place: `sum` ignores NULLs in a recompute while the fold
+      * negates explicit values, so without the coalesce, deleting a
+      * group's only non-NULL contributor folds the measure to 0 while a
+      * later rebuild recomputes it to NULL — a silent drift between the
+      * two maintenance paths. */
+    def contribs: Seq[(String, Column)] =
+      (countName -> lit(1L)) +: sums.map { case (n, c) =>
+        n -> coalesce(c.cast("long"), lit(0L)) }
+  }
 
   /** A rollup domain maintained by DELTA FOLDING (incremental algebraic
     * maintenance): per epoch, the engine computes each touched key's
@@ -167,15 +179,15 @@ object Pipeline {
                       sums: Seq[(String, Column)],
                       view: Option[DataFrame => DataFrame] = None): DomainDef = {
     val groupNames = groupExprs.map(_._1)
-    val aggs = (countName -> lit(1L)) +: sums.map { case (n, c) =>
-      n -> c.cast("long") }
+    val spec = AlgebraicSpec(countName, sums)
+    val aggs = spec.contribs
     DomainDef(name, keyCols = groupNames, groupExprs = groupExprs,
       transform = (_, src, _) => src
         .withColumns(groupExprs.toMap)
         .groupBy(groupNames.map(col): _*)
         .agg(sum(aggs.head._2).as(aggs.head._1),
           aggs.tail.map { case (n, c) => sum(c).as(n) }: _*),
-      algebraic = Some(AlgebraicSpec(countName, sums)),
+      algebraic = Some(spec),
       view = view)
   }
 
@@ -515,8 +527,22 @@ object Pipeline {
             && col("epoch") <= e)
           val bound = affectedKeyBound(source, dTable.lastCommittedEpoch, e)
           val res = updateDomain(spark, d, dTable, source, snap, upstreamSnap,
-            missed, (lo, hi) => Some(events.filter(col("epoch") > lo
-              && col("epoch") <= hi)), e, bound)
+            missed,
+            // this feed only covers epochs <= maxEpoch: if the pinned
+            // post version's watermark runs PAST it (a concurrent writer
+            // with a LONGER feed advanced the source mid-run), the
+            // interval's touched keys cannot be produced from here and
+            // the algebraic fold must fall back to the pinned full
+            // recompute — filtering this feed would silently miss the
+            // foreign epochs' keys and commit a wrong rollup that never
+            // self-heals (the streaming form guards the same case). A
+            // head watermark <= maxEpoch stays exact even when it
+            // exceeds THIS run's stop: epochs are deterministic feed
+            // slices, so a concurrent driver over the same feed commits
+            // identical content
+            (lo, hi) => if (hi <= maxEpoch) Some(events.filter(
+              col("epoch") > lo && col("epoch") <= hi)) else None,
+            e, bound)
           updates += TableUpdate(d.name, e, res)
         } else updates += TableUpdate(d.name, e, None)
       } finally snap.unpersist(blocking = false)
@@ -751,9 +777,7 @@ object Pipeline {
     val spec = d.algebraic.get
     val groupNames = d.groupExprs.map(_._1)
     val srcKeys = source.keyCols
-    val contribs: Seq[(String, Column)] =
-      (spec.countName -> lit(1L)) +: spec.sums.map { case (n, c) =>
-        n -> c.cast("long") }
+    val contribs: Seq[(String, Column)] = spec.contribs
     val measureNames = contribs.map(_._1)
 
     val L = dTable.lastCommittedEpoch

@@ -68,13 +68,20 @@ final case class Manifest(
                                   // `lineage`; ascending-contiguous commit
                                   // order proves them committed (full
                                   // history survives in old manifests)
-    tombstoneFloor: Long = -1L    // max tombstoneWatermark any compaction
-                                  // ever GC'd with (monotone): delete
-                                  // tombstones with updated_seq <= this may
-                                  // be physically gone from head state, so a
-                                  // bootstrap consumer whose lastSeq is
-                                  // below it cannot safely fold the head
-                                  // over its stale rows (ChangeFeed guards)
+    tombstoneGcVersion: Long = -1L // version of the NEWEST compaction that
+                                  // ran with a tombstone watermark
+                                  // (monotone, -1 = never): tombstones it
+                                  // dropped were committed at versions
+                                  // <= tombstoneGcVersion - 1, so a
+                                  // bootstrap consumer that applied the
+                                  // source contiguously through at least
+                                  // that version has applied every delete
+                                  // that may be physically gone from head
+                                  // state. Version-based on purpose: seqs
+                                  // are NOT correlated with commit order
+                                  // in this engine, so no seq high-water
+                                  // mark can prove a specific delete was
+                                  // applied (ChangeFeed guards on this)
 ) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def baseFiles: Seq[ManifestFile] = files.filter(_.tier == "base")
@@ -200,7 +207,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
         .map(e => e.getKey -> e.getValue.asText()).toMap,
       lineageEpochFloor = Option(node.get("lineageEpochFloor"))
         .map(_.asLong()).getOrElse(0L),
-      tombstoneFloor = Option(node.get("tombstoneFloor"))
+      tombstoneGcVersion = Option(node.get("tombstoneGcVersion"))
         .map(_.asLong()).getOrElse(-1L)
     )
     require(m.bucketFn == LakeTable.BucketFn,
@@ -237,7 +244,7 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
     val lin = node.putObject("lineage")
     m.lineage.foreach { case (k, v) => lin.put(k, v) }
     node.put("lineageEpochFloor", m.lineageEpochFloor)
-    node.put("tombstoneFloor", m.tombstoneFloor)
+    node.put("tombstoneGcVersion", m.tombstoneGcVersion)
 
     val tmp = Files.createTempFile(logDir, ".tmp-manifest", ".json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))

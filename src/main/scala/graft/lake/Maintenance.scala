@@ -192,10 +192,17 @@ object Maintenance {
       renames = if (buckets.isEmpty) Map.empty else current.renames,
       lineage = cappedLineage,
       lineageEpochFloor = linFloor,
-      // monotone: records the deepest tombstone GC this table ever ran, so
-      // feed consumers can tell whether a bootstrap still carries every
-      // delete they might not have applied (ChangeFeed.mirrorInto)
-      tombstoneFloor = math.max(current.tombstoneFloor, tombstoneWatermark))
+      // monotone: the VERSION of the newest compaction that ran with a
+      // tombstone watermark. Any tombstone it dropped existed in state
+      // `version - 1`, i.e. was committed at a version <= version - 1 —
+      // so a feed consumer that applied the source contiguously through
+      // at least version - 1 has applied every delete that may now be
+      // gone from head state (ChangeFeed.mirrorInto's bootstrap guard).
+      // Recorded whenever a watermark was SET, whether or not any
+      // tombstone actually matched — conservative refusals are safe;
+      // counting dropped rows per pass is not worth an extra aggregate
+      tombstoneGcVersion = if (tombstoneWatermark >= 0L) version
+        else current.tombstoneGcVersion)
     if (table.tryCommit(manifest)) Some(manifest) else None
   }
 

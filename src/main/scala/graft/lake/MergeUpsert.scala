@@ -363,7 +363,7 @@ object MergeUpsert {
         files = m.map(_.files).getOrElse(Seq.empty) ++ newFiles,
         lineage = lin,
         lineageEpochFloor = linFloor,
-        tombstoneFloor = m.map(_.tombstoneFloor).getOrElse(-1L))
+        tombstoneGcVersion = m.map(_.tombstoneGcVersion).getOrElse(-1L))
     }
 
     // 4. CAS commit with re-base on loss: delta files are immutable and

@@ -147,7 +147,15 @@ object Similarity {
       .orderBy(col(idCol))
       .limit(nCells)
       .collect()
-      .map(_.getSeq[Float](1).toArray)
+      // accept array<float|double>, matching IvfCellRank/CosineSim's
+      // input contract — a hard getSeq[Float] would CCE on double vectors
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f
+        case d: Double => d.toFloat
+        case x => throw new IllegalArgumentException(
+          s"IVF vector column '$vecCol' must be array<float|double>, " +
+            s"found element ${if (x == null) "null" else x.getClass.getName}")
+      }.toArray)
     require(cents.nonEmpty, "IVF centroid sample is empty — lower sampleMod")
     cents
   }

@@ -163,19 +163,29 @@ object ChangeFeed {
     * physically retained upstream, so folding it over a stale mirror
     * could permanently resurrect keys whose tombstones are gone. GONE has
     * two independent axes, both guarded: (a) the mirror's last applied
-    * source VERSION was vacuumed past manifest retention; (b) compaction
-    * ran with a `tombstoneWatermark` (the manifest's monotone
-    * `tombstoneFloor`) above the mirror's applied seq — the manifest may
+    * source VERSION was vacuumed past manifest retention; (b) a
+    * compaction GC'd tombstones out of head state — the manifest may
     * still be on disk while the tombstones inside head state are not.
-    * The mirror's `lastSeq` is the exact safety line for (b): increments
-    * apply in contiguous version order, so every source change with
-    * `seq <= lastSeq` is already folded in, and a GC'd tombstone at or
-    * below it cannot resurrect anything. The legal non-empty-mirror
-    * bootstraps remain: crash re-delivery of the bootstrap itself, and a
-    * lost cursor whose mirror is still within BOTH retention axes (the
-    * same lag contract [[poll]] enforces on an incremental cursor). */
+    * The safety line for (b) is VERSION-based (the manifest's monotone
+    * `tombstoneGcVersion`): increments apply in contiguous version
+    * order, so a mirror whose applied version is at least
+    * `tombstoneGcVersion - 1` has applied every delete the GC could
+    * have dropped (all committed strictly before the compaction). No
+    * SEQ high-water mark can stand in for this — seqs are not
+    * correlated with commit order in this engine, so a mirror's
+    * `lastSeq` may exceed a GC'd tombstone's seq while the mirror never
+    * applied that delete (pinned in ChangeFeedSpec's out-of-order-seq
+    * case). The legal non-empty-mirror bootstraps remain: crash
+    * re-delivery of the bootstrap itself, and a lost cursor whose
+    * mirror is still within BOTH retention axes (the same lag contract
+    * [[poll]] enforces on an incremental cursor). A lost-cursor mirror
+    * whose schema predates upstream RENAMES is also handled: the
+    * interval renames since its applied version replay from the
+    * manifest history before the merge (a bootstrap increment itself
+    * carries none). */
   def mirrorInto(spark: SparkSession, source: LakeTable, mirror: LakeTable)
                 (inc: Increment): Unit = {
+    var renames = inc.renames
     if (inc.fromVersion == 0L) {
       val applied = mirror.currentManifest.map(_.epochWatermark).getOrElse(-1L)
       if (applied >= 0L && !source.hasVersion(applied))
@@ -185,17 +195,25 @@ object ChangeFeed {
             "vacuumed past the manifest-retention floor — tombstones " +
             "committed since may be GC'd and the stale mirror rows they " +
             "deleted would resurrect; re-bootstrap into a FRESH root")
-      val tombFloor = source.currentManifest.map(_.tombstoneFloor).getOrElse(-1L)
-      if (applied >= 0L && mirror.lastSeq < tombFloor)
+      val gcV = source.currentManifest.map(_.tombstoneGcVersion).getOrElse(-1L)
+      if (applied >= 0L && gcV >= 0L && applied < gcV - 1L)
         throw new IllegalStateException(
           s"mirrorInto(${mirror.root}): refusing to fold a BOOTSTRAP over " +
-            s"a mirror whose applied seq ${mirror.lastSeq} is below the " +
-            s"source's tombstone-GC floor $tombFloor — deletes the mirror " +
-            "never applied were compacted out of head state and their " +
-            "stale mirror rows would resurrect; re-bootstrap into a " +
-            "FRESH root")
+            s"a mirror that applied the source only through version " +
+            s"$applied while a tombstone-GC compaction committed at " +
+            s"version $gcV — deletes committed in versions " +
+            s"($applied, ${gcV - 1L}] may be compacted out of head state " +
+            "and their stale mirror rows would resurrect; re-bootstrap " +
+            "into a FRESH root")
+      // a bootstrap increment carries no interval renames — replay the
+      // renames committed since the mirror's applied version from the
+      // manifest history (guard (a) above proved that version is still
+      // retained), or a mirror whose schema predates an upstream rename
+      // would schema-EVOLVE the new name as a junk extra column
+      if (applied >= 1L)
+        renames = renamesIn(source, applied, inc.toVersion)
     }
-    inc.renames.foreach { case (from, to) =>
+    renames.foreach { case (from, to) =>
       val cols = mirror.currentManifest
         .map(_.schema.fieldNames.toSet).getOrElse(Set.empty)
       if (cols.contains(from) && !cols.contains(to))

@@ -228,12 +228,79 @@ class ChangeFeedSpec extends SparkSpec {
       ChangeFeed.poll(spark, source, after = 0L).foreach(
         ChangeFeed.mirrorInto(spark, source, stale))
     }
-    assert(ex.getMessage.contains("tombstone-GC floor"))
-    // the live mirror applied the delete (lastSeq >= floor): its
-    // lost-cursor bootstrap is legal, idempotent, and converges
+    assert(ex.getMessage.contains("tombstone-GC compaction"))
+    // the live mirror applied the source through the version just below
+    // the compaction: its lost-cursor bootstrap is legal, idempotent,
+    // and converges
     ChangeFeed.poll(spark, source, after = 0L).foreach(
       ChangeFeed.mirrorInto(spark, source, live))
     assert(live.snapshot(spark).select("path").collect()
       .map(_.getString(0)).toSet == Set("b.scala"))
+  }
+
+  test("the tombstone-GC bootstrap guard is VERSION-based: a mirror whose " +
+      "applied seq exceeds a GC'd delete's seq but which never applied " +
+      "that delete is refused (seqs are uncorrelated with commit order)") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("feed-ooo-src"), 4)
+    // v1 / epoch 0: one key with a LOW seq, another with a HIGH seq
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(10, 0, "I", "r1", "a.scala", "c0", "scala", "x", 1),
+      ChangeEvent(100, 0, "I", "r1", "b.scala", "c1", "scala", "y", 1)
+    ).toDF(), 0L)
+    val stale = new LakeTable(tmpDir("feed-ooo-stale"), 4)
+    val cur = new ChangeFeed.Cursor(tmpDir("feed-ooo-cur") + "/cursor")
+    ChangeFeed.drain(spark, source, cur)(
+      ChangeFeed.mirrorInto(spark, source, stale))
+    assert(stale.lastSeq == 100L, "the stale mirror's seq high-water mark")
+    // v2 / epoch 1: delete the low-seq key with a seq BETWEEN the two
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(50, 1, "D", "r1", "a.scala", "c2", "scala", "", 1)
+    ).toDF(), 1L)
+    // v3: GC the tombstone with a watermark above the delete's seq but
+    // below the stale mirror's lastSeq
+    assert(Maintenance.compactTombstones(spark, source, watermark = 60L)
+      .isDefined)
+    assert(source.read(spark).filter(col("__deleted")).count() == 0,
+      "tombstone must be physically gone")
+    // a seq high-water guard would PASS here (lastSeq 100 >= watermark 60)
+    // and permanently resurrect a.scala; the version guard refuses
+    // (applied v1 < gc-version 3 minus 1)
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.poll(spark, source, after = 0L).foreach(
+        ChangeFeed.mirrorInto(spark, source, stale))
+    }
+    assert(ex.getMessage.contains("tombstone-GC compaction"))
+  }
+
+  test("a lost-cursor bootstrap over a mirror whose schema predates an " +
+      "upstream rename replays the rename from manifest history instead " +
+      "of evolving the new name as a junk extra column") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("feed-rnb-src"), 4)
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.scala", "c0", "scala", "x", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.scala", "c1", "scala", "y", 1)
+    ).toDF(), 0L)                                                   // v1
+    val mirror = new LakeTable(tmpDir("feed-rnb-mir"), 4)
+    val cur = new ChangeFeed.Cursor(tmpDir("feed-rnb-cur") + "/cursor")
+    ChangeFeed.drain(spark, source, cur)(
+      ChangeFeed.mirrorInto(spark, source, mirror))
+    source.renameColumn("lang", "language")                         // v2
+    graft.lake.MergeUpsert.mergeEpoch(spark, source, Seq(
+      ChangeEvent(2, 1, "U", "r1", "a.scala", "c2", "scala", "z", 1)
+    ).toDF().withColumnRenamed("lang", "language"), 1L)             // v3
+    // cursor lost → bootstrap over the pre-rename mirror; a bootstrap
+    // increment carries no interval renames, so mirrorInto must recover
+    // them from the manifest history since the mirror's applied version
+    ChangeFeed.poll(spark, source, after = 0L).foreach(
+      ChangeFeed.mirrorInto(spark, source, mirror))
+    val cols = mirror.currentManifest.get.schema.fieldNames.toSet
+    assert(cols.contains("language") && !cols.contains("lang"),
+      s"mirror schema must track the rename, got $cols")
+    assert(digest(mirror.snapshot(spark), "language")
+      == digest(source.snapshot(spark), "language"))
   }
 }

@@ -335,6 +335,60 @@ class PipelineSpec extends SparkSpec {
     assertDeepDomains(tables2, oracleState)
   }
 
+  test("algebraic fold falls back to a pinned full recompute when a " +
+      "concurrent writer advanced the source past this run's feed " +
+      "(foreign epochs' touched keys are unobtainable here)") {
+    val source = new LakeTable(tmpDir("alg-conc-src"), 4)
+    val cv = Pipeline.omopDomainsDeep(spark).find(_.name == "code_value").get
+    val tables = Pipeline.openDomainTables(tmpDir("alg-conc-dom"), Seq(cv), 4)
+    val events = ChangeGen.stream(spark, cfg).toDF()
+    // OUR feed ends at epoch 3; the foreign writer's feed extends further
+    val feedA = events.filter(col("epoch") <= 3)
+    Pipeline.run(spark, feedA, source, Seq(cv), tables, maxEpoch = 3,
+      upToEpoch = Some(2))
+    // FOREIGN writer (a longer feed): commits source epochs 3 and 4
+    graft.lake.MergeUpsert.mergeEpoch(spark, source,
+      events.filter(col("epoch") === 3), 3L)
+    graft.lake.MergeUpsert.mergeEpoch(spark, source,
+      events.filter(col("epoch") === 4), 4L)
+    // our run resumes with the SHORT feed: the pinned post version's
+    // watermark (4) exceeds this feed's coverage (maxEpoch = 3), so the
+    // fold cannot produce the interval's touched keys — it must take the
+    // version-pinned full recompute; folding feedA's keys would silently
+    // miss epoch 4's groups and commit a wrong rollup that never
+    // self-heals
+    Pipeline.run(spark, feedA, source, Seq(cv), tables, maxEpoch = 3)
+    assert(tables("code_value").lastCommittedEpoch == 3)
+    val expect = cv.transform(spark, source.snapshot(spark), Map.empty)
+    assert(lines(tables("code_value").snapshot(spark), "lang",
+      "n_code_paths", "total_code_chars")
+      == lines(expect, "lang", "n_code_paths", "total_code_chars"))
+  }
+
+  test("algebraic fold and full recompute agree on NULL measure " +
+      "contributions (deleting a group's only non-NULL contributor)") {
+    import graft.model.ChangeEvent
+    import spark.implicits._
+    val source = new LakeTable(tmpDir("alg-null-src"), 4)
+    val cv = Pipeline.omopDomainsDeep(spark).find(_.name == "code_value").get
+    val tables = Pipeline.openDomainTables(tmpDir("alg-null-dom"), Seq(cv), 4)
+    val events = Seq(
+      ChangeEvent(0, 0, "I", "r1", "a.scala", "c0", "scala", "abc", 1),
+      ChangeEvent(1, 0, "I", "r1", "b.scala", "c1", "scala", null, 1),
+      ChangeEvent(2, 1, "D", "r1", "a.scala", "c2", "scala", "", 1)
+    ).toDF()
+    Pipeline.run(spark, events, source, Seq(cv), tables, maxEpoch = 1)
+    // sum() ignores NULLs in a recompute while the fold negates explicit
+    // contributions: without the shared coalesce-to-0 the fold would
+    // leave chars = 0 here and a later rebuild would recompute NULL
+    val got = lines(tables("code_value").snapshot(spark), "lang",
+      "n_code_paths", "total_code_chars")
+    assert(got == Seq("scala|1|0"), got.toString)
+    val expect = lines(cv.transform(spark, source.snapshot(spark), Map.empty),
+      "lang", "n_code_paths", "total_code_chars")
+    assert(got == expect)
+  }
+
   test("a changed DomainDef merge key against an existing root fails fast") {
     val (source, domains, tables) = freshPipeline()
     val events = ChangeGen.stream(spark, cfg).toDF()

@@ -144,6 +144,21 @@ class SimilaritySpec extends SparkSpec {
       exchanges.mkString("\n"))
   }
 
+  test("ivfTopK accepts array<double> vectors and ranks identically to " +
+      "the float corpus (float→double widening is exact)") {
+    val embD = emb.withColumn("embedding",
+      expr("transform(embedding, x -> cast(x as double))"))
+    val qD = embD.filter(col("vec_id") < 5)
+    def ranks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val f = ranks(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, sampleMod = 31))
+    val d = ranks(Similarity.ivfTopK(embD, qD, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, sampleMod = 31))
+    assert(d == f)
+  }
+
   test("IvfCellRank edge semantics: zero vector, null element, dims mismatch stay total") {
     import spark.implicits._
     val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 1.0f))
