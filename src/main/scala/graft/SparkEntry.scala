@@ -640,7 +640,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .filter(size(TextAnalysis.shingles(col("text"), 3)) > 0)
       Dedup.minHashLsh(docs, "doc_id", "text", k = 3, numHashes = 16,
-          bands = 8, baseHash = md5Hash32, bucketHash = md5Hash60)
+          bands = 8, baseHash = md5Hash32Array, bucketHash = md5Hash60)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -658,7 +658,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .filter(size(TextAnalysis.shingles(col("text"), 2)) > 0)
       Dedup.simHashPairs(docs, "doc_id", "text", nBits = 64, chunks = 8,
-          baseHash = md5Hash60)
+          baseHash = md5Hash60Array)
         .filter(col("hamming") <= 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -804,11 +804,17 @@ object SparkEntry {
   /** 32-/60-bit non-negative integers from an md5 hex prefix — base
     * hashes a DuckDB twin oracle recomputes exactly as
     * `CAST('0x' || substr(md5(x), 1, n) AS BIGINT)`. 15 hex chars = 60
-    * bits keeps every derived sum/product inside a signed 64-bit long. */
-  private def md5Hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    * bits keeps every derived sum/product inside a signed 64-bit long.
+    * The `Array` forms hash a whole shingle array per row through the
+    * native [[graft.functions.Md5PrefixLongArray]] kernel
+    * (value-identical; one codegen'd loop instead of an interpreted
+    * `transform` lambda per element). */
   private def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def md5Hash32Array(arr: Column): Column =
+    graft.functions.Md5PrefixLongArray(arr, 8)
+  private def md5Hash60Array(arr: Column): Column =
+    graft.functions.Md5PrefixLongArray(arr, 15)
 
   private def duckMd5(expr: String, hexChars: Int): String =
     s"CAST('0x' || substr(md5($expr), 1, $hexChars) AS BIGINT)"

@@ -81,19 +81,15 @@ object TextAnalysis {
 
   /** Word k-shingles as an array column (for MinHash / Jaccard).
     *
-    * Implemented as zip_with over k-1 shifted copies of the word array —
-    * NOT as `transform(sequence(...), i => slice(words, i, k))`: an outer
-    * expression captured inside a higher-order-function lambda is
-    * re-evaluated per ELEMENT (HOFs are interpreted, no common-subexpr
-    * elimination), so the capture form re-ran the regex split ~n times per
-    * row (measured 65ms/doc; this form is ~100×cheaper). zip_with pads the
-    * shorter side with NULL and `concat` is null-strict, so trailing
-    * partial windows drop out in the final filter. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    val joined = (1 until k).foldLeft(words)((acc, i) =>
-      zip_with(acc, slice(words, lit(i + 1), size(words)),
-        (a, b) => concat(a, lit(" "), b)))
-    filter(joined, s => s.isNotNull)
-  }
+    * Tokenization stays Spark-native (`split(lower(trim(text)), "\\s+")`
+    * — codegen'd, semantics pinned by the DuckDB twin oracles); the
+    * window-join runs in the native [[ShingleJoin]] kernel. The previous
+    * form (zip_with over k-1 shifted copies + null filter) was
+    * interpreted per element AND duplicated wholesale by the optimizer
+    * into inferred `size(...) > 0` filters and both sides of the dedup
+    * self-joins — the r06 before-plans show it 9+ times in one plan;
+    * value-identical by construction (windows extending past the end
+    * drop, exactly like the null-strict concat chain). */
+  def shingles(text: Column, k: Int): Column =
+    ShingleJoin(split(lower(trim(text)), "\\s+"), k)
 }

@@ -169,6 +169,7 @@ object Maintenance {
     timed("write") { merged.repartition(nb, current.keyCols.map(col): _*)
       .withColumn("bucket", MergeUpsert.bucketOf(nb, current.keyCols))
       .write.mode("overwrite").partitionBy("bucket")
+      .options(MergeUpsert.ParquetWriteOptions)
       .parquet(commitDir.toString) }
 
     val newFiles = timed("footers") {

@@ -74,6 +74,23 @@ object MergeUpsert {
     * business keys — the key is a table property ([[LakeTable.keyCols]]). */
   val DefaultKeyCols: Seq[String] = Seq("repo", "path")
 
+  /** Parquet writer options for lake commits (delta + compaction).
+    * Dictionary encoding is disabled per-column for the columns that are
+    * unique-per-row by construction (content, its sha, the commit id, the
+    * sequence number): the dictionary writer hashes every value only to
+    * overflow the page dictionary and fall back to plain — profiled at a
+    * measurable slice of merge CPU (`Binary.hashCode` /
+    * `Long2IntLinkedOpenHashMap` under `InternalParquetRecordWriter`) for
+    * zero size benefit. Repetitive columns (repo, path, lang, bucket)
+    * keep dictionary encoding — that is where the size win lives.
+    * Unknown column names are ignored by parquet-mr, so the same option
+    * set is safe for derived domain tables. */
+  val ParquetWriteOptions: Map[String, String] = Map(
+    "parquet.enable.dictionary#content" -> "false",
+    "parquet.enable.dictionary#content_sha" -> "false",
+    "parquet.enable.dictionary#commit" -> "false",
+    "parquet.enable.dictionary#updated_seq" -> "false")
+
   /** Bucket function = Spark's own HashPartitioning id expression
     * (`pmod(murmur3(keyCols...), n)`). This is deliberate: the final
     * aggregate's shuffle already places every row in the partition whose
@@ -286,6 +303,7 @@ object MergeUpsert {
     timed("write", epoch) { observed
       .withColumn("bucket", bucketOf(nb, kc))
       .write.mode("overwrite").partitionBy("bucket")
+      .options(ParquetWriteOptions)
       .parquet(commitDir.toString) }
 
     // A ZERO-row batch (e.g. a derived domain whose epoch touches no

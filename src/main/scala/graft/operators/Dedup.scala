@@ -27,12 +27,21 @@ object Dedup {
     canon
   }
 
+  /** Per-shingle base hashing: `baseHash` maps the whole shingle ARRAY to
+    * an `array<long>` in one expression. The default wraps scalar
+    * xxhash64 in a `transform` (interpreted per element — fine for tests
+    * and small corpora); hot callers pass a native array kernel such as
+    * `a => Md5PrefixLongArray(a, n)` so the per-element hash runs inside
+    * one codegen'd loop. */
+  private def defaultBaseHash: Column => Column =
+    arr => transform(arr, s => xxhash64(s))
+
   /** MinHash signature column: array of `numHashes` 64-bit minima over
     * the doc's word `k`-shingles. Pure array expressions — per-row work,
     * zero shuffle.
     *
-    * Perf-critical shape: the shingle set is hashed ONCE (`xxhash64` per
-    * shingle), and the `numHashes` signature slots are derived from that
+    * Perf-critical shape: the shingle set is hashed ONCE (array-level
+    * `baseHash`), and the `numHashes` signature slots are derived from that
     * base hash by universal-hash remixes `a_i*h + b_i` (odd multipliers from
     * splitmix64 of the slot index) — cheap integer arithmetic instead of
     * re-tokenizing the document per slot. Writing it as
@@ -40,9 +49,8 @@ object Dedup {
     * inlines the whole shingling expression tree n times and is ~50×
     * slower; measured, not theorized. */
   def minHashSignature(text: Column, k: Int, numHashes: Int,
-                       baseHash: Column => Column = xxhash64(_)): Column = {
-    val baseHashes = transform(TextAnalysis.shingles(text, k),
-      s => baseHash(s))
+                       baseHash: Column => Column = defaultBaseHash): Column = {
+    val baseHashes = baseHash(TextAnalysis.shingles(text, k))
     val (as, bs) = minHashCoefficients(numHashes)
     // native codegen'd fold (graft.functions.MinHashSig): the equivalent
     // aggregate(zip_with(...)) Column tree is interpreted per element and
@@ -77,7 +85,7 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  maxBucket: Int = 1000,
-                 baseHash: Column => Column = xxhash64(_),
+                 baseHash: Column => Column = defaultBaseHash,
                  bucketHash: Column => Column = xxhash64(_)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
@@ -115,9 +123,8 @@ object Dedup {
     * hash to local word order, the web-dedup standard).
     * Pure array expressions; returns the hash as a long (nBits ≤ 64). */
   def simHash(text: Column, nBits: Int = 64, shingleK: Int = 2,
-              baseHash: Column => Column = xxhash64(_)): Column = {
-    val hashes = transform(TextAnalysis.shingles(text, shingleK),
-      t => baseHash(t))
+              baseHash: Column => Column = defaultBaseHash): Column = {
+    val hashes = baseHash(TextAnalysis.shingles(text, shingleK))
     // native codegen'd sign-vote fold (graft.functions.SimHashBits): the
     // equivalent aggregate(zip_with(...)) tree interprets N×nBits nodes
     // per row and was the most expensive query in the suite
@@ -130,7 +137,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    nBits: Int = 64, chunks: Int = 8, shingleK: Int = 2,
                    maxBucket: Int = 1000,
-                   baseHash: Column => Column = xxhash64(_)): DataFrame = {
+                   baseHash: Column => Column = defaultBaseHash): DataFrame = {
     val width = nBits / chunks
     val hashed = df.select(col(idCol).as("id"),
       simHash(col(textCol), nBits, shingleK, baseHash).as("sh"))
