@@ -27,9 +27,17 @@ class FastLocalFs extends RawLocalFileSystem {
 }
 
 object FastLocalFs {
-  /** Spark conf entries enabling the shim. */
+  /** Spark conf entries enabling the shim. Also raises the parallel
+    * file-listing threshold: a merge-on-read snapshot passes its delta
+    * tier as explicit leaf files, and above 32 paths Spark launches a
+    * distributed LISTING job (observed: 256 near-empty tasks, ~2s of pure
+    * scheduling per lake read at local[1]). Local listing is a stat()
+    * each; 4096 keeps listing on the driver until file counts where a
+    * distributed listing genuinely pays (object stores at many thousands
+    * of paths — on such a deployment this shim is not configured). */
   val sparkConf: Map[String, String] = Map(
     "spark.hadoop.fs.file.impl" -> classOf[FastLocalFs].getName,
-    "spark.hadoop.fs.file.impl.disable.cache" -> "false"
+    "spark.hadoop.fs.file.impl.disable.cache" -> "false",
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "4096"
   )
 }

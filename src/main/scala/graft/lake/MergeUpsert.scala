@@ -266,10 +266,17 @@ object MergeUpsert {
     // 2. within-batch compaction (partial+final agg, one winner per key),
     //    then the storage projection; sha only on winners. content_sha is
     //    the per-row invariant of the SOURCE table (input_hint); derived
-    //    domain tables have no content column and skip it.
+    //    domain tables have no content column and skip it. `epoch` and
+    //    `schemaVersion` are dropped BEFORE the aggregate — they are
+    //    discarded from the delta right after it, so carrying them through
+    //    the payload struct and the partial-agg shuffle is pure waste
+    //    (latest-wins winners are unaffected: neither is part of the
+    //    (seq, commit) order, and a tie between a row and its re-delivery
+    //    differs only in these dropped columns).
     val obsIn = Observation()
     val compacted = latestPerKey(
-      mapped.observe(obsIn, count(lit(1)).as("events")), keyCols = kc)
+      mapped.drop("epoch", "schemaVersion")
+        .observe(obsIn, count(lit(1)).as("events")), keyCols = kc)
     // once a table's committed schema carries content_sha, the per-row
     // invariant is established (input_hint) and a feed batch that lost
     // its content column must fail loudly here, not commit NULL-content
@@ -291,14 +298,18 @@ object MergeUpsert {
       .drop("op", "seq", "epoch", "schemaVersion")
 
     // 3. single write pass with observed metrics (the Observation listener
-    //    fires for whichever action executes the plan — here the write)
+    //    fires for whichever action executes the plan — here the write).
+    //    bucketsTouched comes from the commit's file listing below (one
+    //    file exists exactly per non-empty bucket): the previous
+    //    `size(collect_set(bucketOf(...)))` observation re-hashed the key
+    //    columns per output row through the interpreted accumulator path —
+    //    profiled as a visible slice of the write stage for a number the
+    //    directory listing already knows.
     val obs = Observation()
     val observed = delta.observe(obs,
       count(lit(1)).as("rows"),
       max(col("updated_seq")).as("maxSeq"),
-      sum(when(col("__deleted"), 1L).otherwise(0L)).as("deletes"),
-      // DISTINCT aggregates are disallowed in observations; nb is small
-      size(collect_set(bucketOf(nb, kc))).as("buckets"))
+      sum(when(col("__deleted"), 1L).otherwise(0L)).as("deletes"))
     val commitDir = table.newCommitDir(current.map(_.version).getOrElse(0L) + 1)
     timed("write", epoch) { observed
       .withColumn("bucket", bucketOf(nb, kc))
@@ -323,13 +334,12 @@ object MergeUpsert {
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
     val deletes = metricsRow.get("deletes").flatMap(Option(_))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val bucketsTouched = metricsRow.get("buckets")
-      .map(_.asInstanceOf[Int]).getOrElse(0)
 
     // no footer reads on the hot path: bytes from the dir listing, rows
     // from the observation (per-file counts are recomputed at compaction)
     val newFiles = timed("list", epoch) {
       table.listCommitFiles(commitDir).map(_.copy(tier = "delta")) }
+    val bucketsTouched = newFiles.map(_.bucket).distinct.size
     require(metricsRow.nonEmpty || newFiles.isEmpty,
       s"mergeEpoch($epoch): write produced ${newFiles.size} files but no " +
         "observed metrics — metrics were lost, refusing to commit blind")
