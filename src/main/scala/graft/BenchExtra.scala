@@ -20,6 +20,29 @@ object BenchExtra {
     case other => sys.error(s"unknown BenchExtra mode: $other")
   }
 
+  /** Per-query job/stage/task accounting (GRAFT_STAGE_TIMING=1): fixed
+    * scheduling overhead vs real task time is THE split that matters for
+    * the many-tiny-jobs system probes. */
+  private final class Counts extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      { jobs.incrementAndGet(); () }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(sc.stageInfo.numTasks)
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) runMs.addAndGet(m.executorRunTime)
+      ()
+    }
+    def snap: (Long, Long, Long, Long) =
+      (jobs.get, stages.get, tasks.get, runMs.get)
+  }
+
   /** Materialize a ladder-shaped WAL (same GenConfig shape as Bench's CDC
     * section) for spot replay measurements via graft.BenchReplay. */
   private def genWalMain(args: Array[String]): Unit = {
@@ -72,6 +95,9 @@ object BenchExtra {
       SparkEntry.queries("j2_left_enrich")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    val counts = new Counts
+    if (sys.env.get("GRAFT_STAGE_TIMING").contains("1"))
+      spark.sparkContext.addSparkListener(counts)
     val names: Seq[String] =
       if (queryList == "all") SparkEntry.queries.keys.toSeq.sorted
       else queryList.split(",").map(_.trim).toSeq
@@ -83,7 +109,15 @@ object BenchExtra {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      val c0 = counts.snap
       val runs = (1 to math.max(1, reps)).map(_ => once())
+      if (sys.env.get("GRAFT_STAGE_TIMING").contains("1")) {
+        Thread.sleep(500) // listener bus drain, coarse
+        val c1 = counts.snap
+        System.err.println(f"[extra:$name] jobs=${c1._1 - c0._1} " +
+          f"stages=${c1._2 - c0._2} tasks=${c1._3 - c0._3} " +
+          f"taskRunSec=${(c1._4 - c0._4) / 1e3}%.1f (over $reps reps)")
+      }
       // capture the physical plan AFTER timing (explain itself plans)
       try {
         val df = fn(spark, sfDir)

@@ -725,7 +725,7 @@ object SparkEntry {
       // derived changelog into a scratch lake, then read back the
       // PERSISTED person domain table.
       val changes = derivedChangelog(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-pipe-q").toString
+      val root = scratchTempDir("graft-pipe-q")
       val source = new graft.lake.LakeTable(s"$root/source", 8)
       val domains = graft.engine.Pipeline.omopDomains(s)
       val tables = graft.engine.Pipeline.openDomainTables(
@@ -756,7 +756,7 @@ object SparkEntry {
       // from scratch as latest-wins SQL, so the fold's exactness
       // invariant (domain == rollup(source head)) is driver-checked.
       val changes = derivedChangelog(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-pipe-cv").toString
+      val root = scratchTempDir("graft-pipe-cv")
       val source = new graft.lake.LakeTable(s"$root/source", 8)
       val cv = graft.engine.Pipeline.omopDomainsDeep(s)
         .filter(_.name == "code_value")
@@ -791,6 +791,23 @@ object SparkEntry {
         col("event_type").as("lang"),
         concat(lit("c:"), col("event_id")).as("content"),
         lit(1).as("schemaVersion"))
+
+  /** RAM-backed scratch root for the pipeline probes' throwaway lakes —
+    * same policy as the bench launcher (GRAFT_TMPDIR, else /dev/shm when
+    * present, else java.io.tmpdir): the probes replay ~20 tiny Spark jobs
+    * whose wall is dominated by small-file create/close churn, which on
+    * the single local disk measures 2-3× tmpfs. Placement only — the
+    * probe still computes everything from the parquet inputs. */
+  private def scratchTempDir(prefix: String): String = {
+    val base = sys.env.get("GRAFT_TMPDIR")
+      .orElse(if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/dev/shm"))) Some("/dev/shm/graft-local")
+      else None)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), prefix).toString
+  }
 
   /** Whole-SYSTEM probes registered in [[queries]] (end-to-end pipeline
     * replays spanning many Spark jobs). Bench times them in a separate

@@ -886,13 +886,14 @@ object Pipeline {
       if (small && groupNames == dTable.keyCols &&
           dTable.currentManifest.isDefined) {
         import scala.jdk.CollectionConverters._
-        val local = spark.createDataFrame(
-          aff0.collect().toList.asJava, aff0.schema)
+        val rows = aff0.collect()
+        val local = spark.createDataFrame(rows.toList.asJava, aff0.schema)
         val nb = dTable.numBuckets
-        val buckets = local
-          .select(MergeUpsert.bucketOf(nb, groupNames).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        (local, Some(buckets))
+        // driver-side: the rows are already local, and the previous
+        // distinct+collect over the LocalRelation cost two Spark stages
+        // per domain-epoch for <= numBuckets integers
+        val bucketFn = MergeUpsert.localBucketOf(aff0.schema, groupNames, nb)
+        (local, Some(rows.iterator.map(bucketFn).toSet))
       } else (aff0, None)
 
     // source rows of the affected groups only (semi-join over the

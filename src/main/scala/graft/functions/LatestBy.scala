@@ -52,10 +52,14 @@ case class LatestBy(
   // Codegen'd total order over the ord VALUE (held in a 1-field row).
   // Ascending + NullsFirst matches the interpreted ordering this replaces;
   // LazilyGeneratedOrdering itself falls back to interpreted on codegen
-  // failure and is serialization-safe.
+  // failure and is serialization-safe. JVM-global per ord type: a
+  // per-task instance would re-enter Spark's codegen compile cache on
+  // every task — its per-key lock serialized the many-tiny-tasks pipeline
+  // regime (profiled: tasks parked in KeyLock.withLock under
+  // LatestBy.ordering init). The generated comparator is stateless, so
+  // sharing across tasks is safe.
   @transient private lazy val ordering: LazilyGeneratedOrdering =
-    new LazilyGeneratedOrdering(Seq(SortOrder(
-      BoundReference(0, ord.dataType, nullable = false), Ascending)))
+    LatestBy.orderingFor(ord.dataType)
   // Reusable wrappers: aggregate instances are per-task and update/merge
   // are single-threaded within a task (same pattern as Spark's Collect).
   @transient private lazy val leftRow = new GenericInternalRow(1)
@@ -121,6 +125,14 @@ object LatestBy {
   /** Winner held as ONE 2-field UnsafeRow `[payload, ord]` (copied, stable
     * storage); `row == null` = empty buffer. */
   final case class State(var row: UnsafeRow)
+
+  private val orderingCache =
+    new java.util.concurrent.ConcurrentHashMap[DataType, LazilyGeneratedOrdering]
+
+  private[functions] def orderingFor(dt: DataType): LazilyGeneratedOrdering =
+    orderingCache.computeIfAbsent(dt, d =>
+      new LazilyGeneratedOrdering(Seq(SortOrder(
+        BoundReference(0, d, nullable = false), Ascending))))
 
   def apply(payload: Column, ord: Column): Column = {
     import org.apache.spark.sql.graftbridge

@@ -39,5 +39,25 @@ object FastLocalFs {
     "spark.hadoop.fs.file.impl" -> classOf[FastLocalFs].getName,
     "spark.hadoop.fs.file.impl.disable.cache" -> "false",
     "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "4096"
-  )
+  ) ++ localScratch.map("spark.local.dir" -> _)
+
+  /** RAM-backed shuffle/spill scratch for local runs, same policy as the
+    * bench launcher: GRAFT_TMPDIR if set, else /dev/shm when present.
+    * Local-mode shuffles are dominated by tiny-file create/close on the
+    * one virtio disk (profiled: half the busy executor samples of the
+    * pipeline probes inside DiskBlockObjectWriter on /tmp); a real
+    * cluster points spark.local.dir at its fast local disks the same way
+    * — and does not configure this shim at all. */
+  private def localScratch: Option[String] =
+    sys.env.get("GRAFT_TMPDIR").orElse {
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get("/dev/shm")))
+        Some("/dev/shm/graft-local")
+      else None
+    }.map { dir =>
+      // Spark expects the configured root to exist
+      try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      catch { case _: java.io.IOException => () }
+      dir
+    }
 }

@@ -447,11 +447,11 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
       keys: Seq[Seq[Any]]): (Set[Int], Column) = {
     val kc = keyCols
     val keySchema = StructType(kc.map(c => m.schema(c)))
-    val local = spark.createDataFrame(
-      keys.map(k => org.apache.spark.sql.Row(k: _*)).asJava, keySchema)
-    val buckets = local
-      .select(MergeUpsert.bucketOf(numBuckets, kc).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // driver-side through the same Catalyst expression (the keys are
+    // already local — no Spark job for <= numBuckets integers)
+    val bucketFn = MergeUpsert.localBucketOf(keySchema, kc, numBuckets)
+    val buckets = keys.iterator
+      .map(k => bucketFn(org.apache.spark.sql.Row(k: _*))).toSet
     val pred = keys.map(k =>
       kc.zip(k).map { case (c, v) =>
         col(c) <=> org.apache.spark.sql.functions.lit(v)

@@ -101,6 +101,29 @@ object MergeUpsert {
                keyCols: Seq[String] = DefaultKeyCols): Column =
     pmod(hash(keyCols.map(col): _*), lit(numBuckets)).cast("int")
 
+  /** Driver-side twin of [[bucketOf]] for ALREADY-COLLECTED rows: builds
+    * the very same Catalyst expression (Murmur3Hash seed 42 → Pmod →
+    * int cast) and evaluates it locally. The LocalRelation fast paths
+    * previously derived bucket IDs by running a distinct+shuffle Spark
+    * job over a handful of driver-local rows — two whole stages per
+    * domain-epoch for a value the driver can compute in microseconds. */
+  def localBucketOf(schema: org.apache.spark.sql.types.StructType,
+                    keyCols: Seq[String],
+                    numBuckets: Int): org.apache.spark.sql.Row => Int = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, Cast, Literal, Murmur3Hash, Pmod, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val keyExprs = keyCols.map(n => attrs(schema.fieldIndex(n)))
+    val expr = Cast(Pmod(new Murmur3Hash(keyExprs), Literal(numBuckets)),
+      org.apache.spark.sql.types.IntegerType)
+    val proj = UnsafeProjection.create(
+      Seq(BindReferences.bindReference(expr, attrs)))
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+    r => proj(toCatalyst(r)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]).getInt(0)
+  }
+
   /** Collapse a frame to the winning row per key by `ordCols` desc.
     * Partial+final ObjectHashAggregate — map-side combine collapses hot
     * keys before the shuffle (skew-proof by construction). Uses the custom
