@@ -92,6 +92,14 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"),
       minHashSignature(col(textCol), k, numHashes, baseHash).as("sig"))
 
+    // ONE exchange materializes the banded signatures; the bucket-count
+    // guard and both self-join sides then reuse it (ReusedExchange).
+    // Without the explicit repartition, Catalyst broadcast-joins the
+    // small sides and re-plans the whole scan+signature subtree into
+    // every consumer — the r06 before-plan scanned documents 4× and
+    // computed every signature 4×. Partitioning by the join key is also
+    // the only shape that exists at 100 TB (the corpus is never
+    // broadcastable); only (id, sig, band, bucket) ever shuffles.
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -99,10 +107,12 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .repartition(col("band"), col("bucket"))
 
     // cap degenerate buckets before the self-join
     val counts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-    val ok = banded.join(counts.filter(col("n") <= maxBucket), Seq("band", "bucket"))
+    val ok = banded.join(counts.filter(col("n") <= maxBucket).drop("n"),
+      Seq("band", "bucket"))
 
     val a = ok.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = ok.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -141,14 +151,18 @@ object Dedup {
     val width = nBits / chunks
     val hashed = df.select(col(idCol).as("id"),
       simHash(col(textCol), nBits, shingleK, baseHash).as("sh"))
+    // one exchange, reused by the count guard and both join sides — see
+    // the minHashLsh comment (before-plan scanned the corpus 4×)
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * width).bitwiseAND((1L << width) - 1).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.chunk"), col("bb.bucket"))
+      .repartition(col("chunk"), col("bucket"))
     val counts = banded.groupBy("chunk", "bucket").agg(count(lit(1)).as("n"))
-    val ok = banded.join(counts.filter(col("n") <= maxBucket), Seq("chunk", "bucket"))
+    val ok = banded.join(counts.filter(col("n") <= maxBucket).drop("n"),
+      Seq("chunk", "bucket"))
     val a = ok.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = ok.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "bucket"))
@@ -173,10 +187,15 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
       .withColumn("n", size(col("sh")))
+    // one exchange on the shingle, reused by the stop-shingle count and
+    // both join sides — see the minHashLsh comment (the before-plan
+    // re-scanned and re-shingled the corpus per consumer)
     val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
+      .repartition(col("g"))
     // drop ubiquitous shingles (stop-shingles) — same hot-key guard as LSH
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-    val pruned = exploded.join(freq.filter(col("df") <= maxShingleDocs), Seq("g"))
+    val pruned = exploded.join(freq
+      .filter(col("df") <= maxShingleDocs).drop("df"), Seq("g"))
     val a = pruned.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = pruned.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("g"))
