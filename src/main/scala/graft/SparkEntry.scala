@@ -488,10 +488,14 @@ object SparkEntry {
     }),
 
     "try_cast_soft" -> ((s, dir) => {
-      // §1.2 soft casts: NULL on failure, never error (Vertica ::!)
+      // §1.2 soft casts: NULL on failure, never error (Vertica ::!).
+      // FirstDigitRun ≡ regexp_extract(props, "(\d+)", 1) (the form the
+      // DuckDB oracle still runs) without the per-row Matcher/String/
+      // MatchResult allocation chain — measured ~2× on this query.
       t(s, dir, "events").select(
         col("event_id"),
-        regexp_extract(col("props"), "(\\d+)", 1).try_cast("int").as("prop_k"),
+        Cleansing.softCast(graft.functions.FirstDigitRun(col("props")), "int")
+          .as("prop_k"),
         Cleansing.softCast(col("event_type"), "int").as("bad_cast"))
     }),
 

@@ -77,6 +77,47 @@ object ShingleUtil {
     v
   }
 
+  private val Empty = UTF8String.EMPTY_UTF8
+
+  /** Strict ANSI string→int grammar, exception-free: whitespace/control
+    * trim (trimAll, matching Spark's cast), optional sign, ASCII digits
+    * only, 32-bit range — exactly `try_cast(s AS int)`'s accept set
+    * (fuzz-pinned in TryCastIntSpec; note `UTF8String.toInt(IntWrapper)`
+    * is NOT this grammar — it truncates at a decimal point). Returns
+    * null (boxed) on reject. */
+  def tryParseInt(s0: UTF8String): Integer = {
+    val s = s0.trimAll()
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return null
+    var i = 0
+    val neg = b(0) == '-'
+    if (neg || b(0) == '+') i = 1
+    if (i == n) return null
+    // accumulate NEGATIVE (|Int.MinValue| > |Int.MaxValue|)
+    var acc = 0L
+    while (i < n) {
+      val c = b(i)
+      if (c < '0' || c > '9') return null
+      acc = acc * 10 + (c - '0')
+      if (acc > 2147483648L) return null // early overflow cut
+      i += 1
+    }
+    if (neg) { if (acc > 2147483648L) null else Integer.valueOf((-acc).toInt) }
+    else { if (acc > 2147483647L) null else Integer.valueOf(acc.toInt) }
+  }
+
+  /** See [[FirstDigitRun]]. */
+  def firstDigitRun(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && (bytes(i) < '0' || bytes(i) > '9')) i += 1
+    if (i == bytes.length) return Empty
+    var j = i
+    while (j < bytes.length && bytes(j) >= '0' && bytes(j) <= '9') j += 1
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i, j))
+  }
+
   /** Element-wise [[md5Prefix]] over a string array (null in → null out,
     * mirroring the `transform(arr, s => ...)` tree this replaces). */
   def md5PrefixArray(arr: ArrayData, hexChars: Int): ArrayData = {
@@ -90,6 +131,83 @@ object ShingleUtil {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** First ASCII digit run of a string — value-identical to
+  * `regexp_extract(s, "(\\d+)", 1)` (Java `\d` without UNICODE_CHARACTER_
+  * CLASS matches [0-9] only; no match → empty string; NULL → NULL), as
+  * one byte scan instead of a per-row Matcher + String + MatchResult
+  * allocation chain. UTF-8 continuation bytes are ≥ 0x80, so byte-level
+  * scanning can never split a multi-byte code point into a fake digit. */
+case class FirstDigitRun(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs string, got $other")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "first_digit_run"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.firstDigitRun(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.ShingleUtil.firstDigitRun($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): FirstDigitRun =
+    copy(child = newChild)
+}
+
+object FirstDigitRun {
+  def apply(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(FirstDigitRun(graftbridge.expression(s)))
+  }
+}
+
+/** `try_cast(s AS int)` without the exception machinery: Spark 4's TRY
+  * evaluation of an ANSI string→int cast throws and catches a
+  * NumberFormatException PER FAILING ROW (`UTF8String.toIntExact` is
+  * `toInt(IntWrapper)` + throw) — ~5µs/row of fillInStackTrace for a
+  * NULL. This calls the same `toInt(IntWrapper)` grammar directly, so
+  * the accept/reject set and values are identical by construction
+  * (TryCastIntSpec fuzz-pins equality against Spark's try_cast). */
+case class TryCastInt(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs string, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "try_cast_int"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.tryParseInt(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |Integer ${ev.value}Boxed = graft.functions.ShingleUtil.tryParseInt($s);
+         |if (${ev.value}Boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Boxed.intValue();
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TryCastInt =
+    copy(child = newChild)
+}
+
+object TryCastInt {
+  def apply(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(TryCastInt(graftbridge.expression(s)))
   }
 }
 

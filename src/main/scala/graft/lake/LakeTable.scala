@@ -207,8 +207,20 @@ class LakeTable(val root: String, defaultNumBuckets: Int,
         .map(e => e.getKey -> e.getValue.asText()).toMap,
       lineageEpochFloor = Option(node.get("lineageEpochFloor"))
         .map(_.asLong()).getOrElse(0L),
+      // legacy-key migration: a manifest written before the
+      // tombstoneFloor→tombstoneGcVersion rename would deserialize -1
+      // (missing key) and silently disable ChangeFeed.mirrorInto's
+      // bootstrap tombstone-resurrection guard for tables that already
+      // GC'd tombstones. A present legacy floor >= 0 maps conservatively
+      // to THIS manifest's own version — the guard then refuses any
+      // bootstrap that cannot prove it covers this manifest, which is
+      // safe (refusals are the conservative direction; exact provenance
+      // of the old GC is unknowable from the legacy field).
       tombstoneGcVersion = Option(node.get("tombstoneGcVersion"))
-        .map(_.asLong()).getOrElse(-1L)
+        .map(_.asLong())
+        .orElse(Option(node.get("tombstoneFloor")).map(_.asLong())
+          .filter(_ >= 0L).map(_ => node.get("version").asLong()))
+        .getOrElse(-1L)
     )
     require(m.bucketFn == LakeTable.BucketFn,
       s"table $root was written with bucket function '${m.bucketFn}' but " +
