@@ -117,11 +117,13 @@ object BenchReplay {
       // totals are stable for two consecutive 200ms reads (bounded 5s) —
       // no private listener-bus API needed for a measurement main.
       def drainListener(): Unit = {
-        var last = (-1L, -1L)
+        var last = (-1L, -1L, -1L)
         var stable = 0
         var polls = 0
         while (stable < 2 && polls < 25) {
-          val cur = (runMs.get, cpuNs.get)
+          // gc included: a queued stage event with zero run/cpu delta but
+          // nonzero gc could otherwise be booked across the boundary
+          val cur = (runMs.get, cpuNs.get, gcMs.get)
           if (cur == last) stable += 1 else { stable = 0; last = cur }
           if (stable < 2) Thread.sleep(200)
           polls += 1

@@ -76,8 +76,13 @@ object DocParse {
                     srcCol: String, textCol: String, maxObs: Int): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val n = least(lit(maxObs), size(words))
-    val obsLines = transform(sequence(lit(1), n),
-      i => concat_ws("|", lit("OBS"), i, element_at(words, i)))
+    // index-aware transform over the PRE-SLICED words: the previous
+    // `transform(sequence(1, n), i => ... element_at(words, i))` captured
+    // `words` inside the lambda, so the regex split re-ran per OBS line
+    // (HOF captures are re-evaluated per element); output strings are
+    // identical (idx = 0-based position + 1 ≡ sequence(1, n))
+    val obsLines = transform(slice(words, lit(1), n),
+      (w, i) => concat_ws("|", lit("OBS"), i + 1, w))
     df.select(col(idCol),
       concat_ws("\n",
         concat_ws("|", lit("HDR"), col(idCol), col(langCol), col(srcCol)),

@@ -68,7 +68,8 @@ object ChangeFeed {
       else new String(Files.readAllBytes(Paths.get(path)), "UTF-8").trim.toLong
     def advance(v: Long): Unit = {
       val p = Paths.get(path)
-      require(v >= read, s"cursor $path cannot move backwards ($read -> $v)")
+      val cur = read // one read serves both the guard and its message
+      require(v >= cur, s"cursor $path cannot move backwards ($cur -> $v)")
       val tmp = Files.createTempFile(
         Option(p.getParent).getOrElse(Paths.get(".")), ".cursor", ".tmp")
       Files.write(tmp, v.toString.getBytes("UTF-8"))
