@@ -118,11 +118,28 @@ object BenchExtra {
           f"stages=${c1._2 - c0._2} tasks=${c1._3 - c0._3} " +
           f"taskRunSec=${(c1._4 - c0._4) / 1e3}%.1f (over $reps reps)")
       }
-      // capture the physical plan AFTER timing (explain itself plans)
+      // capture the physical plan AFTER timing (explain itself plans).
+      // Two sections: the initial plan, then — when AQE rewrites it — the
+      // final adaptive plan from executing THIS Dataset's QueryExecution
+      // (runtime ReusedExchange / coalesced stages exist only there; the
+      // noop-write timing above runs through a separate QueryExecution, so
+      // its final plan is not reachable here).
       try {
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.explainString(
+        val qe = df.queryExecution
+        val initial = qe.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        val plan = try {
+          qe.executedPlan.execute().count() // finalize AQE, rows stay remote
+          val fin = qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          if (fin == initial) initial
+          else initial +
+            "\n\n== Final Adaptive Plan (captured after execution) ==\n\n" + fin
+        } catch { case e: Throwable =>
+          System.err.println(s"[extra] final-plan exec($name) failed: $e")
+          initial
+        }
         Files.writeString(Paths.get(outDir, s"$name.txt"), plan)
       } catch { case e: Throwable =>
         System.err.println(s"[extra] explain($name) failed: $e")

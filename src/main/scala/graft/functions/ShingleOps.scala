@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native array kernels for the shingle/dedup pipeline.
@@ -116,6 +116,92 @@ object ShingleUtil {
     var j = i
     while (j < bytes.length && bytes(j) >= '0' && bytes(j) <= '9') j += 1
     UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i, j))
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Count of non-overlapping `\s<word>\s` matches in `" " + s + " "` —
+    * value-identical to
+    * `size(split(concat(' ', s, ' '), "\\s" + quote(word) + "\\s")) - 1`
+    * (the form this replaces, and the form the DuckDB oracle mirrors as
+    * `len(string_split_regex(' ' || s || ' ', '\swords\s')) - 1`).
+    *
+    * Faithfulness notes, each pinned in StopwordCountSpec:
+    *  - `\s` without UNICODE_CHARACTER_CLASS is ASCII-only
+    *    [ \t\n\x0B\f\r]; all are single UTF-8 bytes, and UTF-8
+    *    continuation bytes are >= 0x80, so a byte scan cannot split a
+    *    multi-byte code point into a fake boundary;
+    *  - Java `Pattern.split` consumes separators left-to-right
+    *    non-overlapping: after a match the next search starts AFTER the
+    *    trailing whitespace, so `"the the"` (single spaces) counts ONCE —
+    *    the kernel advances j by L+2 on a match for exactly this reason;
+    *  - the leading/trailing pad spaces are virtual (index -1 and n read
+    *    as ' '), so no per-row concat allocation.
+    * `word` must be non-empty with no ASCII-whitespace bytes (true of
+    * every marker; enforced at expression construction). */
+  def stopwordCount(s: UTF8String, word: Array[Byte]): Int = {
+    val b = s.getBytes
+    val n = b.length
+    val L = word.length
+    var count = 0
+    var j = -1 // raw index of the leading-boundary char; -1/n are virtual pads
+    val jMax = n - L - 1 // word occupies raw j+1 .. j+L
+    while (j <= jMax) {
+      var hit = (j == -1) || isWs(b(j))
+      if (hit) {
+        var w = 0
+        while (w < L && hit) {
+          if (b(j + 1 + w) != word(w)) hit = false
+          w += 1
+        }
+        if (hit) {
+          val t = j + L + 1 // trailing-boundary raw index; n is the virtual pad
+          hit = t == n || isWs(b(t))
+        }
+      }
+      if (hit) { count += 1; j += L + 2 } else j += 1
+    }
+    count
+  }
+
+  /** `size(split(trim(s), "\\s+"))` as one byte scan. `trim` (space-only,
+    * exactly like the Column form's `trim`) then Pattern.split with `\s+`:
+    * parts = (maximal ASCII-whitespace runs) + 1 — a leading/trailing
+    * non-space whitespace run still separates an empty part, which is why
+    * the run count alone reproduces split's quirks (e.g. "\tfoo" → 2).
+    * Callers keep the `when(length(trim(s)) = 0, 0)` gate outside, as the
+    * Column form does. Fuzz-pinned in StopwordCountSpec. */
+  def wsTokenCount(s: UTF8String): Int = {
+    val b = s.trim().getBytes
+    var runs = 0
+    var inRun = false
+    var i = 0
+    while (i < b.length) {
+      val w = isWs(b(i))
+      if (w && !inRun) runs += 1
+      inRun = w
+      i += 1
+    }
+    runs + 1
+  }
+
+  /** `length(regexp_replace(trim(s), "\\s+", ""))` as one byte scan:
+    * code points that are not ASCII whitespace. The surrounding `trim`
+    * drops only 0x20 — which `\s` removes anyway — so scanning the whole
+    * string is value-identical. Code points = non-continuation bytes
+    * ((b & 0xC0) != 0x80), matching `length`'s numChars. Fuzz-pinned in
+    * StopwordCountSpec. */
+  def nonWsCharCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    var c = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i)
+      if ((x & 0xC0) != 0x80 && !isWs(x)) c += 1
+      i += 1
+    }
+    c
   }
 
   /** Element-wise [[md5Prefix]] over a string array (null in → null out,
@@ -276,5 +362,99 @@ object Md5PrefixLongArray {
     import org.apache.spark.sql.graftbridge
     graftbridge.column(
       Md5PrefixLongArray(graftbridge.expression(arr), hexChars))
+  }
+}
+
+/** Standalone-token occurrence count — see [[ShingleUtil.stopwordCount]].
+  * Replaces `size(split(concat(' ', s, ' '), "\\sword\\s")) - 1`, which
+  * paid a full regex split + parts-array allocation per row per marker
+  * (lang_id_heuristic evaluates 15 of them). One byte scan, no
+  * allocation. */
+case class StopwordCount(child: Expression, word: String)
+  extends UnaryExpression {
+  require(word.nonEmpty && !word.exists(c =>
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+        c == '\r'),
+    "stopword must be non-empty with no ASCII-whitespace characters")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs string, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_count"
+
+  @transient private lazy val wordBytes: Array[Byte] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.stopwordCount(input.asInstanceOf[UTF8String], wordBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopword", wordBytes, "byte[]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.ShingleUtil.stopwordCount($s, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordCount =
+    copy(child = newChild)
+}
+
+object StopwordCount {
+  def apply(s: Column, word: String): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(StopwordCount(graftbridge.expression(s), word))
+  }
+}
+
+private[functions] trait StringToIntKernel extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs string, got $other")
+    }
+  override def dataType: DataType = IntegerType
+}
+
+/** Whitespace-run token count — see [[ShingleUtil.wsTokenCount]]. */
+case class WsTokenCount(child: Expression)
+  extends UnaryExpression with StringToIntKernel {
+  override def prettyName: String = "ws_token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.wsTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.ShingleUtil.wsTokenCount($s)")
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+    copy(child = newChild)
+}
+
+object WsTokenCount {
+  def apply(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(WsTokenCount(graftbridge.expression(s)))
+  }
+}
+
+/** Non-whitespace code-point count — see [[ShingleUtil.nonWsCharCount]]. */
+case class NonWsCharCount(child: Expression)
+  extends UnaryExpression with StringToIntKernel {
+  override def prettyName: String = "non_ws_char_count"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.nonWsCharCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.ShingleUtil.nonWsCharCount($s)")
+  override protected def withNewChildInternal(newChild: Expression): NonWsCharCount =
+    copy(child = newChild)
+}
+
+object NonWsCharCount {
+  def apply(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(NonWsCharCount(graftbridge.expression(s)))
   }
 }

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. `split` on \s+ after trim; empty → 0. */
+  /** Whitespace token count. `split` on \s+ after trim; empty → 0.
+    * The count runs in the [[WsTokenCount]] kernel (one byte scan) —
+    * value-identical to `size(split(trim(text), "\\s+"))`, fuzz-pinned in
+    * StopwordCountSpec and oracled via text_tokens/text_quality. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(WsTokenCount(text))
 
   /** BPE-ish subword count heuristic: word-pieces + punctuation runs.
     * A cheap stand-in for a real tokenizer: counts alnum runs and
@@ -23,10 +26,12 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(split(trim(text), "(?<=\\W)|(?=\\W)")) // boundary split
 
-  /** Mean word length over whitespace tokens (0.0 for empty). */
+  /** Mean word length over whitespace tokens (0.0 for empty).
+    * `chars` was `length(regexp_replace(trim(text), "\\s+", ""))` — the
+    * [[NonWsCharCount]] kernel is the same count (trim only drops spaces,
+    * which `\s` removes anyway) without the regex rewrite allocation. */
   def avgWordLen(text: Column): Column = {
-    val t = trim(text)
-    val chars = length(regexp_replace(t, "\\s+", ""))
+    val chars = NonWsCharCount(text)
     val words = tokenCount(text)
     when(words === 0, lit(0.0)).otherwise(chars.cast("double") / words.cast("double"))
   }
@@ -38,9 +43,17 @@ object TextAnalysis {
     when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
   }
 
-  /** Occurrences of a literal stopword as a standalone token. */
+  /** Occurrences of a literal stopword as a standalone token.
+    *
+    * Was `size(split(concat(' ', text, ' '), "\\s" + quote(word) +
+    * "\\s")) - 1` — a full regex split + parts-array allocation per row
+    * per marker (lang_id_heuristic sums 15 of these). [[StopwordCount]]
+    * is the same count (pads virtually, emulates Pattern.split's
+    * non-overlapping separator consumption exactly) as one byte scan;
+    * value identity fuzz-pinned in StopwordCountSpec and machine-checked
+    * by the DuckDB oracles of text_quality / lang_id_heuristic. */
   def stopwordHits(text: Column, word: String): Column =
-    size(split(concat(lit(" "), text, lit(" ")), "\\s" + java.util.regex.Pattern.quote(word) + "\\s")) - 1
+    StopwordCount(text, word)
 
   /** Composite quality score in [0,1]: length-band * (1 - punct) * stopword
     * presence. Heuristic mirror of web-corpus quality filters. */
